@@ -1,0 +1,28 @@
+"""OpenGlottal-TPU: TPU-native glottal area segmentation from high-speed videoendoscopy.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of the reference
+OpenGlottal toolkit (see /root/reference, README.md:1-12):
+
+  * YOLOv8n glottis detector + temporal-consistency detection gate
+    (reference: openglottal/models/detector.py) — here a Flax YOLOv8n plus a
+    ``lax.scan`` finite-state machine over batched per-frame detections.
+  * Lightweight 4-level U-Net binary segmenter
+    (reference: openglottal/models/unet.py:36-88) — here a Flax NHWC U-Net
+    running on frame *chunks* so the MXU stays busy.
+  * Classical motion trackers VFT / YOLO-guided VFT
+    (reference: openglottal/models/tracker.py) — here ``lax.scan`` recurrences
+    with on-device connected-component filtering.
+  * Glottal area waveform -> kinematic features
+    (reference: openglottal/features.py:38-68) — here pure jnp FFT/autocorr.
+
+Unlike the reference's per-frame Python loop (host<->device copies every
+frame), the whole video -> features path here is batched over the frame axis,
+jitted, and shardable across a TPU mesh (frame-axis "sequence parallelism").
+"""
+
+__version__ = "0.1.0"
+
+from openglottal_tpu.models.unet import UNet  # noqa: F401
+from openglottal_tpu.models.gate import TemporalGate  # noqa: F401
+
+__all__ = ["UNet", "TemporalGate", "__version__"]

@@ -1,0 +1,179 @@
+"""Classical motion trackers as ``lax.scan`` recurrences over the frame axis.
+
+Reference: openglottal/models/tracker.py —
+  * VocalFoldTracker (VFT, :11-114): EMA motion map of Gaussian-blurred
+    absdiffs; ROI = largest blob above roi_threshold_ratio * peak; intensity
+    threshold = beta-EMA of the glottal_percentile of ROI pixels; output =
+    (dark AND in-ROI) pixels filtered to the max_glottal_components largest
+    blobs.
+  * YOLOGuidedVFT (:117-232): same EMA machinery but the ROI is the YOLO
+    bbox rectangle; empty mask when no bbox.
+
+TPU design: frames arrive as a (T, H, W) float array of integer pixel values
+(uint8 range), the carry is (prev_frame, motion_map, threshold), and every
+per-frame step is static-shape jnp: masked uint8 percentiles run on
+histograms (ops/histogram.py), blob filtering on the label-propagation CC
+kernel (ops/blobs.py).  Everything jits into one scan per video.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from openglottal_tpu.ops.blur import gaussian_blur
+from openglottal_tpu.ops.blobs import largest_blob, top_n_blobs
+from openglottal_tpu.ops.histogram import masked_histogram_u8, percentile_from_hist
+
+
+class VFTParams(NamedTuple):
+    """Defaults = reference VFT_PARAMS (openglottal/features.py:14-21)."""
+
+    alpha: float = 0.98
+    beta: float = 0.7
+    roi_threshold_ratio: float = 0.07
+    gaussian_ksize: int = 13
+    glottal_percentile: float = 5.0
+    max_glottal_components: int = 2
+
+
+class YGVFTParams(NamedTuple):
+    """Defaults = reference YGVFT_PARAMS (openglottal/features.py:23-29)."""
+
+    alpha: float = 0.98
+    beta: float = 0.7
+    glottal_percentile: float = 30.0
+    gaussian_ksize: int = 13
+    max_glottal_components: int = 2
+
+
+def _roi_percentile(frame, roi, pct, fallback, min_px):
+    """percentile(frame[roi], pct) if count > min_px else fallback
+    (tracker.py:109: ``if px.size > 10``; :93 uses > 0 at init)."""
+    hist = masked_histogram_u8(frame, roi)
+    val, n = percentile_from_hist(hist, pct)
+    return jnp.where(n > min_px, val, fallback)
+
+
+def vft_initialize(init_frames, p: VFTParams):
+    """Seed carry from N init frames (tracker.py:81-94).
+
+    init_frames: (N, H, W) float32 integer-valued grayscale, already resized
+    to the locked crop size (the caller locks sizes, features.py:124-127).
+    Returns carry (prev, lmap, thresh).
+    """
+    ff = init_frames.astype(jnp.float32)
+    n = ff.shape[0]
+    avg = jnp.abs(ff[1:] - ff[:-1]).sum(0) / (n - 1)
+    lmap = gaussian_blur(avg, p.gaussian_ksize)
+    peak = lmap.max()
+    rthr = jnp.where(peak > 0, peak * p.roi_threshold_ratio, 1.0)
+    rm = largest_blob(lmap > rthr)
+    thresh = _roi_percentile(ff[0], rm, p.glottal_percentile, 127.0, min_px=0)
+    return ff[-1], lmap, thresh
+
+
+def vft_step(carry, frame, p: VFTParams):
+    """One VFT frame (tracker.py:96-114). frame: (H, W) f32 integer-valued."""
+    prev, lmap, thresh = carry
+    ff = frame.astype(jnp.float32)
+    d = gaussian_blur(jnp.abs(ff - prev), p.gaussian_ksize)
+    lmap = p.alpha * d + (1.0 - p.alpha) * lmap
+    peak = lmap.max()
+    rthr = jnp.where(peak > 0, peak * p.roi_threshold_ratio, 1.0)
+    roi = largest_blob(lmap > rthr)
+    cur = _roi_percentile(ff, roi, p.glottal_percentile, thresh, min_px=10)
+    thresh = p.beta * thresh + (1.0 - p.beta) * cur
+    raw = (ff < thresh) & roi
+    mask = top_n_blobs(raw, p.max_glottal_components)
+    return (ff, lmap, thresh), mask
+
+
+@partial(jax.jit, static_argnames=("params",))
+def vft_scan(init_frames, frames, active=None, params: VFTParams = VFTParams()):
+    """Full VFT pass: initialize from init_frames, scan over frames.
+
+    ``active`` (T,) bool marks real frames; inactive steps (padding to a
+    bucketed length, or frames the reference skips at features.py:112-119)
+    pass the carry through untouched and emit an empty mask.
+    Returns (masks (T, H, W) bool, areas (T,) f32).
+    """
+    carry = vft_initialize(init_frames, params)
+    if active is None:
+        active = jnp.ones((frames.shape[0],), jnp.bool_)
+
+    def step(c, xs):
+        f, a = xs
+        c2, m = vft_step(c, f, params)
+        c = jax.tree.map(lambda new, old: jnp.where(a, new, old), c2, c)
+        m = m & a
+        return c, (m, m.sum().astype(jnp.float32))
+
+    _, (masks, areas) = jax.lax.scan(step, carry, (frames, active))
+    return masks, areas
+
+
+def _bbox_mask(h: int, w: int, valid, box):
+    """255-inside-bbox mask (tracker.py:159-165); empty when not valid."""
+    x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+    rows = jnp.arange(h)[:, None]
+    cols = jnp.arange(w)[None, :]
+    m = (rows >= y1) & (rows < y2) & (cols >= x1) & (cols < x2)
+    return m & valid
+
+
+def ygvft_initialize(init_frames, first_valid, first_box, p: YGVFTParams):
+    """Seed carry (tracker.py:183-203): lmap from mean absdiff; threshold from
+    the percentile of the LAST init frame inside the first bbox (whole frame
+    if no bbox yet)."""
+    ff = init_frames.astype(jnp.float32)
+    n, h, w = ff.shape
+    avg = jnp.abs(ff[1:] - ff[:-1]).sum(0) / (n - 1)
+    lmap = gaussian_blur(avg, p.gaussian_ksize)
+    roi = _bbox_mask(h, w, first_valid, first_box)
+    roi_any = roi.any()
+    sel = jnp.where(roi_any, roi, jnp.ones_like(roi))
+    thresh = _roi_percentile(ff[-1], sel, p.glottal_percentile, 127.0, min_px=0)
+    return ff[-1], lmap, thresh
+
+
+def ygvft_step(carry, frame, valid, box, p: YGVFTParams):
+    """One YOLO-guided VFT frame (tracker.py:205-232)."""
+    prev, lmap, thresh = carry
+    ff = frame.astype(jnp.float32)
+    h, w = ff.shape
+    d = gaussian_blur(jnp.abs(ff - prev), p.gaussian_ksize)
+    lmap = p.alpha * d + (1.0 - p.alpha) * lmap
+    roi = _bbox_mask(h, w, valid, box)
+    cur = _roi_percentile(ff, roi, p.glottal_percentile, thresh, min_px=10)
+    thresh = p.beta * thresh + (1.0 - p.beta) * cur
+    raw = (ff < thresh) & roi
+    mask = top_n_blobs(raw, p.max_glottal_components)
+    return (ff, lmap, thresh), mask
+
+
+@partial(jax.jit, static_argnames=("params",))
+def ygvft_scan(init_frames, first_valid, first_box, frames, valids, boxes,
+               active=None, params: YGVFTParams = YGVFTParams()):
+    """Full YOLO-guided VFT pass.
+
+    init_frames: (N, H, W); frames: (T, H, W); valids: (T,) bool;
+    boxes: (T, 4) i32 gated YOLO boxes; ``active`` marks real (non-padding)
+    frames.  Returns (masks, areas).
+    """
+    carry = ygvft_initialize(init_frames, first_valid, first_box, params)
+    if active is None:
+        active = jnp.ones((frames.shape[0],), jnp.bool_)
+
+    def step(c, xs):
+        f, v, b, a = xs
+        c2, m = ygvft_step(c, f, v, b, params)
+        c = jax.tree.map(lambda new, old: jnp.where(a, new, old), c2, c)
+        m = m & a
+        return c, (m, m.sum().astype(jnp.float32))
+
+    _, (masks, areas) = jax.lax.scan(step, carry, (frames, valids, boxes, active))
+    return masks, areas

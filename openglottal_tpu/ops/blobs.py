@@ -1,0 +1,228 @@
+"""On-device connected components and N-largest-blob filtering.
+
+The reference filters tracker masks to the N largest connected components via
+``cv2.findContours`` + ``cv2.drawContours(..., FILLED)``
+(openglottal/models/tracker.py:57-77,167-179).  That is an irregular,
+host-side op; here it is a static-shape, jittable label-propagation kernel:
+
+  1. every foreground pixel starts labelled with its own flat index;
+  2. iterate: take the min label over the 8-neighbourhood, then compress
+     label chains by pointer jumping (lab = lab[lab]);
+  3. component id = min flat index in the component.
+
+Pointer jumping makes convergence effectively logarithmic in blob diameter;
+the propagation runs to an exact fixpoint under ``lax.while_loop`` (early
+exit — typical masks converge in <10 sweeps; validated against cv2 in tests,
+including worst-case spirals and 1-px serpentine channels).
+
+Semantics: the reference's ``findContours(RETR_EXTERNAL)`` +
+``drawContours(FILLED)`` combo is reproduced *topologically* — a component's
+filled region is everything separated from the image border by that component
+alone (its closed holes, plus components nested inside them), ranked by
+foreground pixel count.  Two documented divergences from cv2, both irrelevant
+to glottal masks and pinned by tests:
+  * cv2 ranks blobs by polygon ``contourArea``, which can swap near-tied
+    ragged blobs (polygon area ≈ pixels − perimeter/2);
+  * cv2's fillPoly rasterization also paints bays whose only connection to
+    the outside is a 1-px-wide channel (the contour walls pass through the
+    flanking pixel centres, capturing the channel interior); topologically
+    these are open and stay unpainted here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _neighbor_min(lab, big):
+    """Min label over the 8-neighbourhood (pad with ``big``)."""
+    p = jnp.pad(lab, 1, constant_values=big)
+    h, w = lab.shape
+    out = lab
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            out = jnp.minimum(out, jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w)))
+    return out
+
+
+def _neighbor_min4(lab, big):
+    """Min label over the 4-neighbourhood (for background/hole labelling)."""
+    p = jnp.pad(lab, 1, constant_values=big)
+    h, w = lab.shape
+    out = lab
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        out = jnp.minimum(out, jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (h, w)))
+    return out
+
+
+def _propagate(mask, iters: int, connectivity: int):
+    """Label propagation to fixpoint: each sweep takes the neighbourhood min
+    then compresses pointer chains (lab = lab[lab]); a ``while_loop`` runs
+    until no label changes (early exit — typical masks converge in < 10
+    sweeps; ``iters`` only caps pathological inputs)."""
+    h, w = mask.shape
+    big = jnp.int32(h * w)
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    lab0 = jnp.where(mask, idx, big)
+    nb_min = _neighbor_min if connectivity == 8 else _neighbor_min4
+
+    def sweep(lab):
+        lab = jnp.where(mask, jnp.minimum(lab, nb_min(lab, big)), big)
+        flat = lab.reshape(-1)
+        lut = jnp.concatenate([flat, big[None]])
+        for _ in range(3):  # pointer jumping: compress label chains
+            flat = lut[flat]
+            lut = jnp.concatenate([flat, big[None]])
+        return flat.reshape(h, w)
+
+    def cond(state):
+        i, _, changed = state
+        return changed & (i < iters)
+
+    def body(state):
+        i, lab, _ = state
+        new = sweep(lab)
+        return i + 1, new, jnp.any(new != lab)
+
+    _, lab, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), lab0, jnp.bool_(True)))
+    return lab
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def connected_components(mask, iters: int = 4096, connectivity: int = 8):
+    """Label 8-connected components of a boolean (H, W) mask.
+
+    Returns int32 labels: component id = min flat index in the component;
+    background = H*W.
+    """
+    return _propagate(mask.astype(jnp.bool_), iters, connectivity)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def fill_holes(mask, iters: int = 4096):
+    """Fill interior holes: background 4-components not touching the border."""
+    mask = mask.astype(jnp.bool_)
+    h, w = mask.shape
+    bg = ~mask
+    lab = _propagate(bg, iters, connectivity=4)
+    border_ids = jnp.concatenate(
+        [lab[0, :], lab[-1, :], lab[:, 0], lab[:, -1]]
+    )
+    reach = jnp.zeros((h * w + 1,), jnp.bool_).at[border_ids].set(True)
+    is_outside = reach[lab.reshape(-1)].reshape(h, w) & bg
+    return mask | (bg & ~is_outside)
+
+
+def _component_tree(mask, iters: int):
+    """Nesting analysis of foreground 8-components and background 4-components.
+
+    Exploits a property of the label-propagation CC: a component's id is the
+    flat index of its topmost-leftmost pixel, and the pixel directly ABOVE
+    that root pixel always belongs to the component's *enclosing* region (for
+    a background comp: the enclosing foreground comp; for a foreground comp:
+    the background comp it is embedded in).  That gives parent pointers
+    without any contour tracing.
+
+    Returns (labF, labB, rootF, hole) where
+      labF: (H, W) i32 foreground labels (bg pixels -> HW)
+      labB: (H, W) i32 background labels (fg pixels -> HW)
+      rootF: (HW+1,) i32  absorb-root per foreground comp id (nested comps
+             resolve to their top-level enclosing comp)
+      hole: (HW+1,) bool  per background comp id — True iff cv2's FILLED draw
+             of its enclosing contour would paint it (i.e. it is a hole of a
+             single component, possibly containing nested comps; background
+             "pockets" jointly enclosed by several comps stay False).
+    """
+    h, w = mask.shape
+    hw = h * w
+    labF = _propagate(mask, iters, connectivity=8)
+    labB = _propagate(~mask, iters, connectivity=4)
+    flatF = labF.reshape(-1)
+    flatB = labB.reshape(-1)
+
+    ids = jnp.arange(hw + 1, dtype=jnp.int32)
+    up = jnp.where(ids >= w, ids - w, hw)  # row-0 roots have no parent (outside)
+    lutF = jnp.concatenate([flatF, jnp.int32(hw)[None]])
+    lutB = jnp.concatenate([flatB, jnp.int32(hw)[None]])
+    fg_parent = lutF[up]   # for bg comp id b: enclosing fg comp (hw = outside)
+    bg_parent = lutB[up]   # for fg comp id f: surrounding bg comp (hw = outside)
+
+    # bg comps touching the border are outside, never holes
+    border = jnp.concatenate([labB[0, :], labB[-1, :], labB[:, 0], labB[:, -1]])
+    outside = jnp.zeros((hw + 1,), jnp.bool_).at[border].set(True)
+    outside = outside.at[hw].set(True)
+
+    # Violation check: bg comp H is NOT a hole if some 8-adjacent fg comp X is
+    # neither H's enclosing comp nor nested inside H (bg_parent[X] != H).
+    viol = jnp.zeros((hw + 1,), jnp.bool_)
+    padF = jnp.pad(labF, 1, constant_values=hw)
+    fgp_pix = fg_parent[flatB]  # per-pixel: enclosing comp of this bg pixel's comp
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = jax.lax.dynamic_slice(padF, (1 + dy, 1 + dx), (h, w)).reshape(-1)
+            is_fg = nb != hw
+            bad = is_fg & (nb != fgp_pix) & (bg_parent[nb] != flatB)
+            viol = viol.at[flatB].max(bad & ~mask.reshape(-1))
+    hole = ~outside & ~viol & (fg_parent != hw)
+
+    # absorb-root chase: nested fg comp -> enclosing fg comp (depth <= 4 real)
+    rootF = ids
+    for _ in range(4):
+        b = bg_parent[rootF]
+        rootF = jnp.where(hole[b], fg_parent[b], rootF)
+    return labF, labB, rootF, hole
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def top_n_blobs(mask, n: int, iters: int = 4096):
+    """Keep the ``n`` largest blobs with cv2 findContours(RETR_EXTERNAL) +
+    drawContours(FILLED) semantics (reference tracker.py:65-77):
+
+      * blobs nested inside another blob's hole are absorbed into the
+        enclosing blob (RETR_EXTERNAL never lists them);
+      * enclosing blobs are ranked by foreground pixel count (including
+        absorbed nested blobs; the reference ranks by polygon ``contourArea``
+        which can swap near-ties — see module docstring);
+      * output is the FILLED region: holes and nested content come out white,
+        background pockets jointly enclosed by several blobs stay black.
+
+    Returns a boolean mask.
+    """
+    mask = mask.astype(jnp.bool_)
+    h, w = mask.shape
+    hw = h * w
+    labF, labB, rootF, hole = _component_tree(mask, iters)
+    flatF = labF.reshape(-1)
+    flatB = labB.reshape(-1)
+
+    pix_rootF = rootF[flatF]                      # fg pixels -> top-level comp
+
+    counts = (
+        jnp.zeros((hw + 1,), jnp.float32)
+        .at[pix_rootF]
+        .add(mask.reshape(-1).astype(jnp.float32))
+    )
+    counts = counts.at[hw].set(0.0)
+    top_vals, top_idx = jax.lax.top_k(counts, n)
+    keep = jnp.zeros((hw + 1,), jnp.bool_).at[top_idx].set(top_vals > 0)
+
+    out_fg = keep[pix_rootF] & mask.reshape(-1)
+    # bg pixel painted iff its comp is a hole whose top-level owner is kept
+    ids = jnp.arange(hw + 1, dtype=jnp.int32)
+    up = jnp.where(ids >= w, ids - w, hw)
+    lutF = jnp.concatenate([flatF, jnp.int32(hw)[None]])
+    owner = rootF[lutF[up]]                       # bg comp id -> top-level owner
+    out_bg = hole[flatB] & keep[owner[flatB]] & ~mask.reshape(-1)
+    return (out_fg | out_bg).reshape(h, w)
+
+
+def largest_blob(mask, iters: int = 4096):
+    """Largest connected component (reference ``_blob``, tracker.py:57-63)."""
+    return top_n_blobs(mask, 1, iters)

@@ -1,0 +1,68 @@
+"""uint8 histogram-based ops: exact masked percentile and Otsu threshold.
+
+The reference computes ``np.percentile(pixels_in_roi, pct)`` per frame inside
+its tracker loops (openglottal/models/tracker.py:93,109,202,225) and Otsu
+thresholds via cv2 (scripts/eval_girafe.py:162-171).  For uint8 pixels both are
+*exactly* computable from a 256-bin histogram — O(HW + 256) per frame, fully
+jittable, no data-dependent shapes (the masked-selection ``px = frame[roi]``
+of the reference would be a dynamic shape under jit).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def masked_histogram_u8(values, mask):
+    """256-bin histogram of ``values`` (any shape, 0..255) where ``mask`` is true."""
+    v = values.astype(jnp.int32).reshape(-1)
+    m = mask.reshape(-1).astype(jnp.float32)
+    return jnp.zeros((256,), jnp.float32).at[v].add(m)
+
+
+def percentile_from_hist(hist, q):
+    """np.percentile(sorted_values, q) (linear interpolation) from a histogram.
+
+    Returns (value, n) where n is the number of selected pixels; value is
+    garbage when n == 0 (caller must gate on n, mirroring the reference's
+    ``if px.size > 0`` fallbacks).
+    """
+    cum = jnp.cumsum(hist)
+    n = cum[-1]
+    rank = (q / 100.0) * jnp.maximum(n - 1.0, 0.0)
+    k = jnp.floor(rank)
+    frac = rank - k
+    vals = jnp.arange(256, dtype=jnp.float32)
+    # v_k = smallest value whose cumulative count exceeds k
+    v_lo = vals[jnp.searchsorted(cum, k, side="right").clip(0, 255)]
+    v_hi = vals[jnp.searchsorted(cum, k + 1.0, side="right").clip(0, 255)]
+    return v_lo * (1.0 - frac) + v_hi * frac, n
+
+
+def masked_percentile_u8(values, mask, q, fallback):
+    """Exact np.percentile of uint8 ``values[mask]``; ``fallback`` when mask empty."""
+    hist = masked_histogram_u8(values, mask)
+    val, n = percentile_from_hist(hist, q)
+    return jnp.where(n > 0, val, fallback)
+
+
+def otsu_threshold(values, mask=None):
+    """Otsu threshold of uint8 values (optionally masked), cv2 THRESH_OTSU semantics.
+
+    Returns the threshold t; binarize with ``values > t`` (cv2 uses src > t for
+    THRESH_BINARY). Reference call site: scripts/eval_girafe.py:162-171.
+    """
+    if mask is None:
+        mask = jnp.ones(values.shape, jnp.bool_)
+    hist = masked_histogram_u8(values, mask)
+    n = hist.sum()
+    p = hist / jnp.maximum(n, 1.0)
+    vals = jnp.arange(256, dtype=jnp.float32)
+    w0 = jnp.cumsum(p)
+    mu_cum = jnp.cumsum(p * vals)
+    mu_total = mu_cum[-1]
+    w1 = 1.0 - w0
+    # between-class variance; guard empty classes like cv2 (skip when w0/w1 ~ 0)
+    denom = w0 * w1
+    sigma_b = jnp.where(denom > 1e-12, (mu_total * w0 - mu_cum) ** 2 / jnp.maximum(denom, 1e-12), -1.0)
+    return jnp.argmax(sigma_b).astype(jnp.float32)

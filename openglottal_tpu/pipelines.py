@@ -1,0 +1,368 @@
+"""The five inference pipelines, batched over the frame axis.
+
+Reference dataflows (README.md:17-29; openglottal/features.py):
+  1. vft         YOLO -> fixed-size crop -> motion VFT inside crop
+  2. guided-vft  YOLO bbox as ROI on full frame -> YOLOGuidedVFT
+  3. unet        full-frame U-Net, mask counted inside YOLO bbox (gated)
+  4. crop-unet   YOLO crop -> letterbox 256² -> crop-trained U-Net -> paste back
+  5. unet-only   full-frame U-Net, no gate
+
+TPU re-architecture (SURVEY.md §7): the reference loops Python per frame with
+two host<->device copies per model; here each stateless model pass (YOLO,
+U-Net) runs batched over fixed-size frame chunks, the tiny order-dependent
+recurrences (gate FSM, tracker EMAs) run as ``lax.scan`` over per-frame
+summaries, and dynamic crop geometry becomes traced interpolation matrices
+(ops/resize.py) so nothing has a dynamic shape.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openglottal_tpu.features import kinematic_features
+from openglottal_tpu.models.gate import GateParams, gate_scan
+from openglottal_tpu.models.tracker import (
+    VFTParams,
+    YGVFTParams,
+    vft_scan,
+    ygvft_scan,
+)
+from openglottal_tpu.models.unet import UNet
+from openglottal_tpu.models.yolo import YOLOv8, max_conf_detect
+from openglottal_tpu.ops.resize import (
+    crop_resize_bilinear,
+    dyn_letterbox_geometry,
+    dyn_letterbox_matrix_nearest,
+    dyn_unletterbox_matrix_nearest,
+    resize_bilinear,
+)
+
+VFT_INIT = 2    # reference features.py:31
+YGVFT_INIT = 2  # reference features.py:32
+CHUNK = 128     # frame-chunk size for batched model passes
+
+
+def _pad_to(x, n, axis=0):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _bucket(t: int, chunk: int = CHUNK) -> int:
+    return max(chunk, ((t + chunk - 1) // chunk) * chunk)
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def _unet_chunk(variables, gray_u8, dtype=jnp.bfloat16):
+    """U-Net on a chunk of 256² grayscale frames -> boolean masks.
+
+    Equivalent to per-frame unet_segment_frame (utils.py:218-241) for frames
+    already at 256²; callers resize otherwise.
+    """
+    model = UNet(dtype=dtype)
+    x = (gray_u8.astype(jnp.float32) / 255.0)[..., None]
+    logits = model.apply(variables, x, train=False)
+    return jax.nn.sigmoid(logits[..., 0]) > 0.5
+
+
+@partial(jax.jit, static_argnames=("conf", "dtype"))
+def _yolo_chunk(variables, bgr_u8, conf: float = 0.25, dtype=jnp.bfloat16):
+    """YOLO max-conf detection on a chunk of 256² BGR frames."""
+    model = YOLOv8(nc=1, dtype=dtype)
+    x = bgr_u8[..., ::-1].astype(jnp.float32) / 255.0
+    outs = model.apply(variables, x, train=False)
+    h, w = x.shape[1:3]
+    return max_conf_detect(outs, h, w, conf)
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def _crop_unet_chunk(variables, gray_u8, valids, boxes, dtype=jnp.bfloat16):
+    """Crop pipeline on a chunk: crop each gated box, letterbox to 256²
+    (nearest — the reference letterboxes 2-D arrays with INTER_NEAREST,
+    utils.py:80,117), run the crop-trained U-Net, project the mask back into
+    the full frame (eval_girafe.py:127-159 fused into two matrix sandwiches).
+
+    gray_u8: (C, H, W); valids: (C,); boxes: (C, 4) i32.
+    Returns full-frame boolean masks (C, H, W).
+    """
+    model = UNet(dtype=dtype)
+    h, w = gray_u8.shape[1:]
+    x1, y1 = boxes[:, 0], boxes[:, 1]
+    ch = boxes[:, 3] - boxes[:, 1]
+    cw = boxes[:, 2] - boxes[:, 0]
+    pad_t, pad_l, c_h, c_w = dyn_letterbox_geometry(ch, cw)
+
+    a_h = jax.vmap(lambda s, l, p, c: dyn_letterbox_matrix_nearest(h, 256, s, l, p, c))(
+        y1, ch, pad_t, c_h
+    )
+    a_w = jax.vmap(lambda s, l, p, c: dyn_letterbox_matrix_nearest(w, 256, s, l, p, c))(
+        x1, cw, pad_l, c_w
+    )
+    g = gray_u8.astype(jnp.float32)
+    boxed = jnp.einsum("cih,chw->ciw", a_h, g)
+    boxed = jnp.einsum("cjw,ciw->cij", a_w, boxed)
+
+    logits = model.apply(variables, (boxed / 255.0)[..., None], train=False)
+    m256 = (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.float32)
+
+    b_h = jax.vmap(lambda s, l, p, c: dyn_unletterbox_matrix_nearest(h, 256, s, l, p, c))(
+        y1, ch, pad_t, c_h
+    )
+    b_w = jax.vmap(lambda s, l, p, c: dyn_unletterbox_matrix_nearest(w, 256, s, l, p, c))(
+        x1, cw, pad_l, c_w
+    )
+    full = jnp.einsum("chi,cij->chj", b_h, m256)
+    full = jnp.einsum("cwj,chj->chw", b_w, full)
+    return (full > 0.5) & valids[:, None, None]
+
+
+@jax.jit
+def _box_area_sums(masks, valids, boxes):
+    """area[t] = sum(mask inside box) when valid else 0 (features.py:237-245)."""
+    h, w = masks.shape[1:]
+    rows = jnp.arange(h)
+    cols = jnp.arange(w)
+
+    def one(m, v, b):
+        rm = (rows >= b[1]) & (rows < b[3])
+        cm = (cols >= b[0]) & (cols < b[2])
+        return jnp.where(v, (m & rm[:, None] & cm[None, :]).sum().astype(jnp.float32), 0.0)
+
+    return jax.vmap(one)(masks, valids, boxes)
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def _gather_crops(gray_u8, boxes, out_h: int, out_w: int):
+    """Batched crop + INTER_LINEAR resize to the locked VFT crop size,
+    rounded to uint8 values (cv2 resizes uint8 crops, features.py:127)."""
+
+    def one(frame, b):
+        ch = (b[3] - b[1]).astype(jnp.float32)
+        cw = (b[2] - b[0]).astype(jnp.float32)
+        c = crop_resize_bilinear(
+            frame.astype(jnp.float32), b[1].astype(jnp.float32),
+            b[0].astype(jnp.float32), ch, cw, out_h, out_w,
+        )
+        return jnp.clip(jnp.round(c), 0, 255)
+
+    return jax.vmap(one)(gray_u8, boxes)
+
+
+class GlottalPipelines:
+    """Host-side orchestrator binding model weights to the five pipelines.
+
+    Heavy passes run chunked (CHUNK frames per jitted call — one compile,
+    bounded HBM); the gate FSM and feature math consume tiny per-frame
+    summaries.
+    """
+
+    def __init__(self, unet_variables=None, crop_unet_variables=None,
+                 yolo_variables=None, conf: float = 0.25,
+                 gate_params: GateParams = GateParams(),
+                 vft_params: VFTParams = VFTParams(),
+                 ygvft_params: YGVFTParams = YGVFTParams(),
+                 dtype=jnp.bfloat16):
+        self.unet_variables = unet_variables
+        self.crop_unet_variables = crop_unet_variables
+        self.yolo_variables = yolo_variables
+        self.conf = conf
+        self.gate_params = gate_params
+        self.vft_params = vft_params
+        self.ygvft_params = ygvft_params
+        self.dtype = dtype
+
+    # ── chunked model passes ──────────────────────────────────────────────
+
+    def _chunked(self, fn, *arrays):
+        t = arrays[0].shape[0]
+        outs = []
+        for i in range(0, t, CHUNK):
+            chunk = [
+                _pad_to(a[i : i + CHUNK], CHUNK) for a in arrays
+            ]
+            outs.append(fn(*chunk))
+        if isinstance(outs[0], tuple):
+            return tuple(jnp.concatenate([o[k] for o in outs])[:t]
+                         for k in range(len(outs[0])))
+        return jnp.concatenate(outs)[:t]
+
+    def detect_video(self, frames_bgr_u8):
+        """(T, 256, 256, 3) BGR -> (has (T,), raw_boxes (T,4) f32, conf (T,))."""
+        return self._chunked(
+            lambda x: _yolo_chunk(self.yolo_variables, x, conf=self.conf,
+                                  dtype=self.dtype),
+            jnp.asarray(frames_bgr_u8),
+        )
+
+    def segment_video(self, gray_u8):
+        """(T, H, W) gray -> (T, H, W) boolean masks (full-frame U-Net)."""
+        gray = jnp.asarray(gray_u8)
+        t, h, w = gray.shape
+        if (h, w) != (256, 256):
+            # reference unet_segment_frame: INTER_LINEAR in and out, threshold
+            # applied after projecting the prob map back (utils.py:234-241)
+            x = self._chunked(
+                lambda g: resize_bilinear(g.astype(jnp.float32), 256, 256), gray
+            )
+            probs = self._chunked(
+                lambda g: _unet_probs_chunk(self.unet_variables, g, self.dtype), x
+            )
+            back = self._chunked(
+                lambda p: resize_bilinear(p, h, w), probs
+            )
+            return back > 0.5
+        return self._chunked(
+            lambda g: _unet_chunk(self.unet_variables, g, dtype=self.dtype), gray
+        )
+
+    def gated_boxes(self, frames_bgr_u8, sequential: bool = True):
+        """YOLO + temporal gate -> (valid (T,), boxes (T,4) i32)."""
+        has, raw, _ = self.detect_video(frames_bgr_u8)
+        h, w = frames_bgr_u8.shape[1:3]
+        if sequential:
+            return gate_scan(has, raw, h, w, params=self.gate_params)
+        from openglottal_tpu.models.gate import gate_single
+
+        return gate_single(has, raw, h, w, params=self.gate_params)
+
+    # ── pipelines 3/5: full-frame U-Net ───────────────────────────────────
+
+    def unet_only_areas(self, gray_u8):
+        masks = self.segment_video(gray_u8)
+        return masks.sum((1, 2)).astype(jnp.float32)
+
+    def yolo_unet_areas(self, frames_bgr_u8, gray_u8=None):
+        from openglottal_tpu.data.video import bgr_to_gray_u8
+
+        if gray_u8 is None:
+            gray_u8 = bgr_to_gray_u8(jnp.asarray(frames_bgr_u8))
+        masks = self.segment_video(gray_u8)
+        valid, boxes = self.gated_boxes(frames_bgr_u8)
+        return _box_area_sums(masks, valid, boxes)
+
+    # ── pipeline 4: crop U-Net ────────────────────────────────────────────
+
+    def crop_unet_masks(self, frames_bgr_u8, gray_u8=None, valid=None, boxes=None):
+        from openglottal_tpu.data.video import bgr_to_gray_u8
+
+        if gray_u8 is None:
+            gray_u8 = bgr_to_gray_u8(jnp.asarray(frames_bgr_u8))
+        if valid is None:
+            valid, boxes = self.gated_boxes(frames_bgr_u8)
+        return self._chunked(
+            lambda g, v, b: _crop_unet_chunk(self.crop_unet_variables, g, v, b,
+                                             dtype=self.dtype),
+            jnp.asarray(gray_u8), valid, boxes,
+        ), valid, boxes
+
+    # ── pipeline 1: VFT ───────────────────────────────────────────────────
+
+    def vft_areas(self, frames_bgr_u8):
+        """YOLO -> size-locked crops -> VFT scan (features.py:74-141).
+
+        The tracker consumes only the *valid-box* frames in order (the
+        reference skips box-less frames without touching tracker state),
+        so we gather valid crops and run one scan over them.
+        """
+        from openglottal_tpu.data.video import bgr_to_gray_u8
+
+        t = len(frames_bgr_u8)
+        if t < VFT_INIT + 5:  # features.py:100-101
+            return None
+        valid, boxes = self.gated_boxes(frames_bgr_u8)
+        valid_np = np.asarray(valid)
+        boxes_np = np.asarray(boxes)
+        idx = np.nonzero(valid_np)[0]
+        if len(idx) < VFT_INIT + 1:
+            return np.zeros(t, np.float32)
+        # crop size locked at first valid crop (features.py:124-127)
+        b0 = boxes_np[idx[0]]
+        w0, h0 = int(b0[2] - b0[0]), int(b0[3] - b0[1])
+        if w0 <= 0 or h0 <= 0:
+            return np.zeros(t, np.float32)
+        gray = bgr_to_gray_u8(jnp.asarray(frames_bgr_u8))
+        n = len(idx)
+        n_pad = _bucket(n, 64)
+        sel = jnp.asarray(np.pad(idx, (0, n_pad - n), constant_values=idx[-1]))
+        crops = _gather_crops(gray[sel], jnp.asarray(
+            np.pad(boxes_np[idx], ((0, n_pad - n), (0, 0)), constant_values=1)
+        ), h0, w0)
+        active = jnp.asarray(np.arange(n_pad) >= VFT_INIT) & jnp.asarray(
+            np.arange(n_pad) < n
+        )
+        _, areas_v = vft_scan(crops[:VFT_INIT], crops, active,
+                              params=self.vft_params)
+        areas = np.zeros(t, np.float32)
+        areas[idx] = np.asarray(areas_v)[:n]
+        areas[idx[:VFT_INIT]] = 0.0  # init frames contribute 0 (features.py:134)
+        return areas
+
+    # ── pipeline 2: guided VFT ────────────────────────────────────────────
+
+    def guided_vft_areas(self, frames_bgr_u8):
+        """YOLO bbox as ROI on the full frame (features.py:147-196)."""
+        from openglottal_tpu.data.video import bgr_to_gray_u8
+
+        t = len(frames_bgr_u8)
+        if t < YGVFT_INIT + 2:  # features.py:169-170
+            return None
+        valid, boxes = self.gated_boxes(frames_bgr_u8)
+        gray = bgr_to_gray_u8(jnp.asarray(frames_bgr_u8)).astype(jnp.float32)
+        valid_np = np.asarray(valid[:YGVFT_INIT])
+        fi = int(np.argmax(valid_np)) if valid_np.any() else 0
+        first_valid = jnp.asarray(bool(valid_np.any()))
+        first_box = boxes[fi]
+        n = t - YGVFT_INIT
+        n_pad = _bucket(n, 64)
+        frames = _pad_to(gray[YGVFT_INIT:], n_pad)
+        v = _pad_to(valid[YGVFT_INIT:], n_pad)
+        b = _pad_to(boxes[YGVFT_INIT:], n_pad)
+        active = jnp.arange(n_pad) < n
+        _, areas_v = ygvft_scan(gray[:YGVFT_INIT], first_valid, first_box,
+                                frames, v, b, active, params=self.ygvft_params)
+        areas = np.zeros(t, np.float32)
+        areas[YGVFT_INIT:] = np.asarray(areas_v)[:n]
+        return areas
+
+    # ── feature extraction entry points (reference features.py API) ──────
+
+    def extract_features(self, frames_bgr_u8, pipeline: str):
+        from openglottal_tpu.data.video import bgr_to_gray_u8
+
+        frames_bgr_u8 = np.asarray(frames_bgr_u8)
+        if frames_bgr_u8.shape[0] == 0:
+            return None
+        if pipeline == "vft":
+            areas = self.vft_areas(frames_bgr_u8)
+        elif pipeline == "guided-vft":
+            areas = self.guided_vft_areas(frames_bgr_u8)
+        elif pipeline == "unet":
+            areas = np.asarray(self.yolo_unet_areas(jnp.asarray(frames_bgr_u8)))
+        elif pipeline == "unet-only":
+            gray = bgr_to_gray_u8(jnp.asarray(frames_bgr_u8))
+            areas = np.asarray(self.unet_only_areas(gray))
+        elif pipeline == "crop-unet":
+            masks, valid, boxes = self.crop_unet_masks(jnp.asarray(frames_bgr_u8))
+            areas = np.asarray(_box_area_sums(masks, valid, boxes))
+        else:
+            raise ValueError(f"unknown pipeline {pipeline!r}")
+        if areas is None:
+            return None
+        return kinematic_features(areas)
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def _unet_probs_chunk(variables, gray01_256, dtype=jnp.bfloat16):
+    """U-Net probabilities on already-resized (C, 256, 256) float frames
+    (pixel range 0..255)."""
+    model = UNet(dtype=dtype)
+    x = (gray01_256.astype(jnp.float32) / 255.0)[..., None]
+    logits = model.apply(variables, x, train=False)
+    return jax.nn.sigmoid(logits[..., 0])

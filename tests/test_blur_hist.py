@@ -1,0 +1,53 @@
+"""Gaussian blur, masked percentile, Otsu vs cv2/numpy oracles."""
+
+import cv2
+import numpy as np
+import pytest
+
+from openglottal_tpu.ops import gaussian_blur, masked_percentile_u8, otsu_threshold
+
+RNG = np.random.default_rng(1)
+
+
+@pytest.mark.parametrize("ksize,sigma", [(13, 0.0), (5, 1.2), (3, 0.7), (13, 2.0)])
+def test_gaussian_blur_matches_cv2(ksize, sigma):
+    img = RNG.random((64, 80)).astype(np.float32) * 255
+    want = cv2.GaussianBlur(img, (ksize, ksize), sigma)
+    got = np.asarray(gaussian_blur(img, ksize, sigma=sigma))
+    np.testing.assert_allclose(got, want, atol=1e-2)
+
+
+def test_gaussian_blur_batched():
+    imgs = RNG.random((4, 33, 47)).astype(np.float32)
+    got = np.asarray(gaussian_blur(imgs, 13))
+    for i in range(4):
+        want = cv2.GaussianBlur(imgs[i], (13, 13), 0)
+        np.testing.assert_allclose(got[i], want, atol=1e-4)
+
+
+@pytest.mark.parametrize("q", [5.0, 30.0, 50.0, 95.0])
+def test_masked_percentile_matches_numpy(q):
+    vals = (RNG.random((50, 60)) * 255).astype(np.uint8)
+    mask = RNG.random((50, 60)) > 0.6
+    want = np.percentile(vals[mask], q)
+    got = float(masked_percentile_u8(vals, mask, q, fallback=127.0))
+    assert abs(got - want) < 1e-4
+
+
+def test_masked_percentile_empty_mask_fallback():
+    vals = (RNG.random((10, 10)) * 255).astype(np.uint8)
+    mask = np.zeros((10, 10), bool)
+    got = float(masked_percentile_u8(vals, mask, 5.0, fallback=127.0))
+    assert got == 127.0
+
+
+def test_otsu_matches_cv2():
+    for _ in range(5):
+        # bimodal image like a glottis crop
+        a = RNG.normal(60, 12, (40, 40))
+        b = RNG.normal(180, 20, (40, 40))
+        pick = RNG.random((40, 40)) > 0.3
+        img = np.where(pick, b, a).clip(0, 255).astype(np.uint8)
+        t_cv, _ = cv2.threshold(img, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+        t = float(otsu_threshold(img))
+        assert abs(t - t_cv) <= 1.0

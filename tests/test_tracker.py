@@ -1,0 +1,142 @@
+"""Tracker scans vs a cv2/numpy oracle transcribed from the documented
+reference semantics (openglottal/models/tracker.py)."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from openglottal_tpu.data.synthetic import synthetic_video, synthetic_gt_boxes
+from openglottal_tpu.data.video import bgr_to_gray_u8
+from openglottal_tpu.models.tracker import (
+    VFTParams, YGVFTParams, vft_scan, ygvft_scan,
+)
+
+
+def _blob_cv(m):
+    cs, _ = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    out = np.zeros_like(m)
+    if cs:
+        cv2.drawContours(out, [max(cs, key=cv2.contourArea)], -1, 255, cv2.FILLED)
+    return out
+
+
+def _nblobs_cv(m, n):
+    cs, _ = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    out = np.zeros_like(m)
+    if cs:
+        cv2.drawContours(out, sorted(cs, key=cv2.contourArea, reverse=True)[:n],
+                         -1, 255, cv2.FILLED)
+    return out
+
+
+class _VFTOracle:
+    def __init__(self, p: VFTParams):
+        self.p = p
+
+    def initialize(self, frames):
+        p = self.p
+        ff = [f.astype(np.float32) for f in frames]
+        avg = sum(cv2.absdiff(ff[i], ff[i - 1]) for i in range(1, len(ff))) / (len(ff) - 1)
+        self.lmap = cv2.GaussianBlur(avg, (p.gaussian_ksize,) * 2, 0)
+        peak = self.lmap.max()
+        rthr = peak * p.roi_threshold_ratio if peak > 0 else 1.0
+        _, rm = cv2.threshold(self.lmap, rthr, 255, cv2.THRESH_BINARY)
+        rm = _blob_cv(rm.astype(np.uint8))
+        px = frames[0][rm == 255]
+        self.thresh = float(np.percentile(px, p.glottal_percentile)) if px.size else 127.0
+        self.prev = ff[-1]
+
+    def step(self, frame):
+        p = self.p
+        ff = frame.astype(np.float32)
+        d = cv2.GaussianBlur(cv2.absdiff(ff, self.prev), (p.gaussian_ksize,) * 2, 0)
+        self.lmap = p.alpha * d + (1 - p.alpha) * self.lmap
+        peak = self.lmap.max()
+        rthr = peak * p.roi_threshold_ratio if peak > 0 else 1.0
+        _, rr = cv2.threshold(self.lmap, rthr, 255, cv2.THRESH_BINARY)
+        roi = _blob_cv(rr.astype(np.uint8))
+        px = frame[roi == 255]
+        cur = float(np.percentile(px, p.glottal_percentile)) if px.size > 10 else self.thresh
+        self.thresh = p.beta * self.thresh + (1 - p.beta) * cur
+        raw = np.zeros_like(frame, np.uint8)
+        raw[(frame < self.thresh) & (roi == 255)] = 255
+        self.prev = ff
+        return _nblobs_cv(raw, p.max_glottal_components)
+
+
+def _gray_video(t=40, size=96):
+    frames_bgr, _ = synthetic_video(t=t, size=size, center=(48.0, 48.0), seed=3)
+    return np.asarray(bgr_to_gray_u8(frames_bgr))
+
+
+def test_vft_matches_oracle():
+    p = VFTParams()
+    gray = _gray_video()
+    oracle = _VFTOracle(p)
+    oracle.initialize([gray[0], gray[1]])
+    want_areas = [float((oracle.step(g) > 0).sum()) for g in gray[2:]]
+
+    frames = jnp.asarray(gray.astype(np.float32))
+    masks, areas = vft_scan(frames[:2], frames[2:], params=p)
+    got_areas = np.asarray(areas)
+    # exact agreement expected on clean elliptical blobs
+    np.testing.assert_allclose(got_areas, want_areas, atol=1.0)
+
+
+class _YGVFTOracle:
+    def __init__(self, p: YGVFTParams):
+        self.p = p
+
+    def _bbox_mask(self, shape, bbox):
+        m = np.zeros(shape[:2], np.uint8)
+        if bbox is not None:
+            x1, y1, x2, y2 = (int(v) for v in bbox)
+            m[y1:y2, x1:x2] = 255
+        return m
+
+    def initialize(self, frames, bbox):
+        p = self.p
+        ff = [f.astype(np.float32) for f in frames]
+        diffs = [cv2.absdiff(ff[i], ff[i - 1]) for i in range(1, len(ff))]
+        self.lmap = cv2.GaussianBlur(sum(diffs) / len(diffs), (p.gaussian_ksize,) * 2, 0)
+        roi = self._bbox_mask(frames[0].shape, bbox)
+        px = frames[-1][roi == 255] if roi.any() else frames[-1].ravel()
+        self.thresh = float(np.percentile(px, p.glottal_percentile)) if px.size else 127.0
+        self.prev = ff[-1]
+
+    def step(self, frame, bbox):
+        p = self.p
+        ff = frame.astype(np.float32)
+        d = cv2.GaussianBlur(cv2.absdiff(ff, self.prev), (p.gaussian_ksize,) * 2, 0)
+        self.lmap = p.alpha * d + (1 - p.alpha) * self.lmap
+        roi = self._bbox_mask(frame.shape, bbox)
+        px = frame[roi == 255]
+        cur = float(np.percentile(px, p.glottal_percentile)) if px.size > 10 else self.thresh
+        self.thresh = p.beta * self.thresh + (1 - p.beta) * cur
+        raw = np.zeros_like(frame, np.uint8)
+        raw[(frame < self.thresh) & (roi == 255)] = 255
+        self.prev = ff
+        return _nblobs_cv(raw, p.max_glottal_components)
+
+
+def test_ygvft_matches_oracle():
+    p = YGVFTParams()
+    frames_bgr, gt = synthetic_video(t=40, size=96, center=(48.0, 48.0), seed=4)
+    gray = np.asarray(bgr_to_gray_u8(frames_bgr))
+    boxes = synthetic_gt_boxes(gt, dilate=6)
+    valids = boxes[:, 0] >= 0
+    boxes_i = np.where(valids[:, None], boxes, 0).astype(np.int32)
+
+    oracle = _YGVFTOracle(p)
+    fb = tuple(boxes[0]) if valids[0] else (tuple(boxes[1]) if valids[1] else None)
+    oracle.initialize([gray[0], gray[1]], fb)
+    want = [float((oracle.step(g, tuple(b) if v else None) > 0).sum())
+            for g, v, b in zip(gray[2:], valids[2:], boxes[2:])]
+
+    f32 = jnp.asarray(gray.astype(np.float32))
+    fi = int(np.argmax(valids[:2])) if valids[:2].any() else 0
+    _, areas = ygvft_scan(
+        f32[:2], jnp.asarray(bool(valids[:2].any())), jnp.asarray(boxes_i[fi]),
+        f32[2:], jnp.asarray(valids[2:]), jnp.asarray(boxes_i[2:]), params=p,
+    )
+    np.testing.assert_allclose(np.asarray(areas), want, atol=1.0)
