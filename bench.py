@@ -13,7 +13,11 @@ scan, box-masked area reduction.  Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
 
 import jax
 import jax.numpy as jnp

@@ -331,6 +331,93 @@ class GlottalPipelines:
         areas[YGVFT_INIT:] = np.asarray(areas_v)[:n]
         return areas
 
+    # ── full outputs for annotation/inference drivers ─────────────────────
+
+    def run_pipeline_full(self, frames_bgr_u8, pipeline: str):
+        """Batched masks + boxes + areas for overlay rendering
+        (reference scripts/infer.py:135-265 semantics per pipeline).
+
+        Returns (masks (T,H,W) bool|None, valids (T,) bool|None,
+        boxes (T,4) i32|None, areas (T,) f32).
+        """
+        from openglottal_tpu.data.video import bgr_to_gray_u8
+
+        frames = jnp.asarray(frames_bgr_u8)
+        t, h, w = frames.shape[:3]
+        gray = bgr_to_gray_u8(frames)
+
+        if pipeline == "unet-only":
+            masks = self.segment_video(gray)
+            return masks, None, None, masks.sum((1, 2)).astype(jnp.float32)
+
+        valid, boxes = self.gated_boxes(frames)
+
+        if pipeline == "unet":
+            masks = self.segment_video(gray)
+            areas = _box_area_sums(masks, valid, boxes)
+            # display mask shown full-frame only when a box exists (infer.py:258-262)
+            masks = masks & valid[:, None, None]
+            return masks, valid, boxes, areas
+
+        if pipeline == "crop-unet":
+            masks, valid, boxes = self.crop_unet_masks(frames, gray_u8=gray,
+                                                       valid=valid, boxes=boxes)
+            return masks, valid, boxes, masks.sum((1, 2)).astype(jnp.float32)
+
+        if pipeline == "guided-vft":
+            areas_np = self.guided_vft_areas(np.asarray(frames_bgr_u8))
+            n = t - YGVFT_INIT
+            n_pad = _bucket(n, 64)
+            from openglottal_tpu.models.tracker import ygvft_scan
+
+            g32 = gray.astype(jnp.float32)
+            vnp = np.asarray(valid[:YGVFT_INIT])
+            fi = int(np.argmax(vnp)) if vnp.any() else 0
+            m, _ = ygvft_scan(
+                g32[:YGVFT_INIT], jnp.asarray(bool(vnp.any())), boxes[fi],
+                _pad_to(g32[YGVFT_INIT:], n_pad), _pad_to(valid[YGVFT_INIT:], n_pad),
+                _pad_to(boxes[YGVFT_INIT:], n_pad), jnp.arange(n_pad) < n,
+                params=self.ygvft_params)
+            masks = jnp.concatenate(
+                [jnp.zeros((YGVFT_INIT, h, w), bool), m[:n]])
+            return masks, valid, boxes, jnp.asarray(areas_np)
+
+        if pipeline == "vft":
+            # project locked-size crop masks back into the frame at the
+            # current box (truncating overlap, infer.py:177-181)
+            areas_np = self.vft_areas(np.asarray(frames_bgr_u8))
+            if areas_np is None:
+                areas_np = np.zeros(t, np.float32)
+            valid_np, boxes_np = np.asarray(valid), np.asarray(boxes)
+            idx = np.nonzero(valid_np)[0]
+            masks = np.zeros((t, h, w), bool)
+            if len(idx) >= VFT_INIT + 1:
+                b0 = boxes_np[idx[0]]
+                w0, h0 = int(b0[2] - b0[0]), int(b0[3] - b0[1])
+                if w0 > 0 and h0 > 0:
+                    n = len(idx)
+                    n_pad = _bucket(n, 64)
+                    sel = jnp.asarray(np.pad(idx, (0, n_pad - n),
+                                             constant_values=idx[-1]))
+                    crops = _gather_crops(gray[sel], jnp.asarray(
+                        np.pad(boxes_np[idx], ((0, n_pad - n), (0, 0)),
+                               constant_values=1)), h0, w0)
+                    active = (jnp.arange(n_pad) >= VFT_INIT) & (jnp.arange(n_pad) < n)
+                    cmasks, _ = vft_scan(crops[:VFT_INIT], crops, active,
+                                         params=self.vft_params)
+                    cmasks = np.asarray(cmasks)[:n]
+                    for k, fi in enumerate(idx):
+                        if k < VFT_INIT:
+                            continue
+                        x1, y1, x2, y2 = boxes_np[fi]
+                        mh = min(h0, y2 - y1)
+                        mw = min(w0, x2 - x1)
+                        if mh > 0 and mw > 0:
+                            masks[fi, y1:y1 + mh, x1:x1 + mw] = cmasks[k][:mh, :mw]
+            return jnp.asarray(masks), valid, boxes, jnp.asarray(areas_np)
+
+        raise ValueError(f"unknown pipeline {pipeline!r}")
+
     # ── feature extraction entry points (reference features.py API) ──────
 
     def extract_features(self, frames_bgr_u8, pipeline: str):

@@ -1,0 +1,59 @@
+"""Weight path resolution and checkpoint loading.
+
+Mirrors the reference's tolerant loading surface: ``resolve_weights_path``
+falls back to ``weights/<name>`` (utils.py:16-24), and U-Net weights load
+from either our orbax checkpoints or reference-style torch ``.pt`` files
+({model|state_dict|raw} dicts accepted, train_unet.py:149).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+
+def resolve_weights_path(path) -> Path:
+    """Return path if it exists; else try weights/<basename> (utils.py:16-24)."""
+    p = Path(path)
+    if p.exists():
+        return p
+    legacy = Path("weights") / p.name
+    if legacy.exists():
+        return legacy
+    return p
+
+
+def load_unet_weights(path):
+    """Load U-Net variables from an orbax ckpt dir or a torch .pt file."""
+    p = resolve_weights_path(path)
+    if p.is_dir():
+        import orbax.checkpoint as ocp
+
+        tree = ocp.StandardCheckpointer().restore(p.resolve())
+        return {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    from openglottal_tpu.utils.torch_import import unet_from_torch
+
+    return unet_from_torch(p)
+
+
+def load_yolo_weights(path):
+    """Load YOLO variables from an orbax ckpt dir (torch .pt import of
+    ultralytics checkpoints requires ultralytics to deserialize — not
+    available here; reference weights are stripped from the mirror anyway,
+    .MISSING_LARGE_BLOBS)."""
+    p = resolve_weights_path(path)
+    import orbax.checkpoint as ocp
+
+    tree = ocp.StandardCheckpointer().restore(Path(p).resolve())
+    return {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+
+
+def save_features_json(feats: dict, out_path) -> None:
+    """features.json with array-to-list conversion (reference cli.py:94-99)."""
+    import json
+    import os
+
+    out_path = Path(out_path)
+    os.makedirs(out_path.parent, exist_ok=True)
+    save = {k: (v.tolist() if hasattr(v, "tolist") else v) for k, v in feats.items()}
+    with open(out_path, "w") as f:
+        json.dump(save, f, indent=2)
