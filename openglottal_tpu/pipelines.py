@@ -46,6 +46,15 @@ YGVFT_INIT = 2  # reference features.py:32
 CHUNK = 128     # frame-chunk size for batched model passes
 
 
+def to_device(x):
+    """Fast host->HBM transfer.  jax.device_put streams ~2 GB/s through the
+    TPU tunnel where jnp.asarray takes a >10x slower conversion path
+    (measured; see bench.py) — every big host array must come through here."""
+    if isinstance(x, jax.Array):
+        return x
+    return jax.device_put(np.ascontiguousarray(x))
+
+
 def _pad_to(x, n, axis=0):
     pad = n - x.shape[axis]
     if pad <= 0:
@@ -80,6 +89,67 @@ def _yolo_chunk(variables, bgr_u8, conf: float = 0.25, dtype=jnp.bfloat16):
     outs = model.apply(variables, x, train=False)
     h, w = x.shape[1:3]
     return max_conf_detect(outs, h, w, conf)
+
+
+@partial(jax.jit, static_argnames=("conf", "dtype"))
+def _yolo_chunk_gray(variables, gray_u8, conf: float = 0.25, dtype=jnp.bfloat16):
+    """YOLO on monochrome frames: channels replicated on DEVICE.
+
+    High-speed endoscopy video is monochrome (4000 fps cameras;
+    paper/main.tex:285-287), so the host->HBM transfer — the pipeline's real
+    bottleneck through the TPU tunnel — only needs one channel.  Bit-identical
+    to the BGR path when all three input channels are equal."""
+    model = YOLOv8(nc=1, dtype=dtype)
+    x = (gray_u8.astype(jnp.float32) / 255.0)[..., None]
+    x = jnp.broadcast_to(x, x.shape[:3] + (3,))
+    outs = model.apply(variables, x, train=False)
+    h, w = x.shape[1:3]
+    return max_conf_detect(outs, h, w, conf)
+
+
+@partial(jax.jit, static_argnames=("conf", "dtype", "gate_params"))
+def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
+                           conf: float, dtype, gate_params: GateParams):
+    """ONE dispatch for the whole video -> area waveform (YOLO+UNet path).
+
+    gray_u8: (T_pad, 256, 256) uint8, T_pad a multiple of CHUNK.  Chunks run
+    under ``lax.map`` (bounded HBM), the gate scan masks padded frames as
+    misses beyond ``t_real``.  Collapsing ~12 jitted calls per video into one
+    removes the per-dispatch runtime overhead that dominated after the
+    transfer optimisations (see bench.py history).
+    """
+    t_pad = gray_u8.shape[0]
+    h, w = gray_u8.shape[1:]
+    chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
+
+    unet = UNet(dtype=dtype)
+    yolo = YOLOv8(nc=1, dtype=dtype)
+
+    def per_chunk(g):
+        x = (g.astype(jnp.float32) / 255.0)[..., None]
+        masks = jax.nn.sigmoid(
+            unet.apply(unet_variables, x, train=False)[..., 0]) > 0.5
+        x3 = jnp.broadcast_to(x, x.shape[:3] + (3,))
+        outs = yolo.apply(yolo_variables, x3, train=False)
+        has, box, cf = max_conf_detect(outs, h, w, conf)
+        return masks, has, box
+
+    masks, has, raw = jax.lax.map(per_chunk, chunks)
+    masks = masks.reshape(t_pad, h, w)
+    has = has.reshape(t_pad) & (jnp.arange(t_pad) < t_real)
+    raw = raw.reshape(t_pad, 4)
+    valid, boxes = gate_scan(has, raw, h, w, params=gate_params)
+    return _box_area_sums(masks, valid, boxes)
+
+
+def is_monochrome(frames_np) -> bool:
+    """Host-side check whether a (T, H, W, 3) uint8 video has equal channels
+    (checked on first/middle/last frames)."""
+    if not isinstance(frames_np, np.ndarray) or frames_np.ndim != 4:
+        return False
+    t = frames_np.shape[0]
+    f = frames_np[[0, t // 2, t - 1]]
+    return bool((f[..., 0] == f[..., 1]).all() and (f[..., 1] == f[..., 2]).all())
 
 
 @partial(jax.jit, static_argnames=("dtype",))
@@ -198,12 +268,45 @@ class GlottalPipelines:
         return self._chunked(
             lambda x: _yolo_chunk(self.yolo_variables, x, conf=self.conf,
                                   dtype=self.dtype),
-            jnp.asarray(frames_bgr_u8),
+            to_device(frames_bgr_u8),
         )
+
+    def detect_video_gray(self, gray_u8):
+        """(T, 256, 256) monochrome -> same as detect_video (channels
+        replicated on device; exact for equal-channel sources)."""
+        return self._chunked(
+            lambda x: _yolo_chunk_gray(self.yolo_variables, x, conf=self.conf,
+                                       dtype=self.dtype),
+            to_device(gray_u8),
+        )
+
+    def _prepare(self, frames_bgr_u8):
+        """One host->device transfer per video; monochrome videos transfer a
+        single channel (3x fewer bytes through the TPU tunnel — the real
+        bottleneck; see bench.py).  Returns (frames_dev | None, gray_dev)."""
+        from openglottal_tpu.data.video import bgr_to_gray_u8
+
+        if isinstance(frames_bgr_u8, np.ndarray) and is_monochrome(frames_bgr_u8):
+            return None, to_device(np.ascontiguousarray(frames_bgr_u8[..., 0]))
+        f = to_device(frames_bgr_u8)
+        return f, bgr_to_gray_u8(f)
+
+    def _gated(self, frames_dev, gray_dev, sequential: bool = True):
+        if frames_dev is not None:
+            has, raw, _ = self.detect_video(frames_dev)
+            h, w = frames_dev.shape[1:3]
+        else:
+            has, raw, _ = self.detect_video_gray(gray_dev)
+            h, w = gray_dev.shape[1:3]
+        if sequential:
+            return gate_scan(has, raw, h, w, params=self.gate_params)
+        from openglottal_tpu.models.gate import gate_single
+
+        return gate_single(has, raw, h, w, params=self.gate_params)
 
     def segment_video(self, gray_u8):
         """(T, H, W) gray -> (T, H, W) boolean masks (full-frame U-Net)."""
-        gray = jnp.asarray(gray_u8)
+        gray = to_device(gray_u8)
         t, h, w = gray.shape
         if (h, w) != (256, 256):
             # reference unet_segment_frame: INTER_LINEAR in and out, threshold
@@ -239,27 +342,44 @@ class GlottalPipelines:
         return masks.sum((1, 2)).astype(jnp.float32)
 
     def yolo_unet_areas(self, frames_bgr_u8, gray_u8=None):
-        from openglottal_tpu.data.video import bgr_to_gray_u8
+        if gray_u8 is not None:
+            frames_dev, gray = to_device(frames_bgr_u8), to_device(gray_u8)
+        else:
+            frames_dev, gray = self._prepare(frames_bgr_u8)
+        if frames_dev is None:
+            return self.yolo_unet_areas_gray(gray)
+        masks = self.segment_video(gray)
+        valid, boxes = self._gated(frames_dev, gray)
+        return _box_area_sums(masks, valid, boxes)
 
-        if gray_u8 is None:
-            gray_u8 = bgr_to_gray_u8(jnp.asarray(frames_bgr_u8))
-        masks = self.segment_video(gray_u8)
-        valid, boxes = self.gated_boxes(frames_bgr_u8)
+    def yolo_unet_areas_gray(self, gray_u8):
+        """YOLO+UNet waveform for monochrome video (T, 256, 256) uint8 —
+        the production HSV path: one transfer + one fused dispatch."""
+        gray = to_device(gray_u8)
+        t, h, w = gray.shape
+        if (h, w) == (256, 256):
+            return _fused_yolo_unet_video(
+                self.unet_variables, self.yolo_variables,
+                _pad_to(gray, _bucket(t)), jnp.int32(t),
+                conf=self.conf, dtype=self.dtype,
+                gate_params=self.gate_params)[:t]
+        masks = self.segment_video(gray)
+        valid, boxes = self._gated(None, gray)
         return _box_area_sums(masks, valid, boxes)
 
     # ── pipeline 4: crop U-Net ────────────────────────────────────────────
 
     def crop_unet_masks(self, frames_bgr_u8, gray_u8=None, valid=None, boxes=None):
-        from openglottal_tpu.data.video import bgr_to_gray_u8
-
-        if gray_u8 is None:
-            gray_u8 = bgr_to_gray_u8(jnp.asarray(frames_bgr_u8))
+        if gray_u8 is not None:
+            frames_dev, gray = frames_bgr_u8, to_device(gray_u8)
+        else:
+            frames_dev, gray = self._prepare(frames_bgr_u8)
         if valid is None:
-            valid, boxes = self.gated_boxes(frames_bgr_u8)
+            valid, boxes = self._gated(frames_dev, gray)
         return self._chunked(
             lambda g, v, b: _crop_unet_chunk(self.crop_unet_variables, g, v, b,
                                              dtype=self.dtype),
-            jnp.asarray(gray_u8), valid, boxes,
+            gray, valid, boxes,
         ), valid, boxes
 
     # ── pipeline 1: VFT ───────────────────────────────────────────────────
@@ -271,12 +391,11 @@ class GlottalPipelines:
         reference skips box-less frames without touching tracker state),
         so we gather valid crops and run one scan over them.
         """
-        from openglottal_tpu.data.video import bgr_to_gray_u8
-
         t = len(frames_bgr_u8)
         if t < VFT_INIT + 5:  # features.py:100-101
             return None
-        valid, boxes = self.gated_boxes(frames_bgr_u8)
+        frames_dev, gray = self._prepare(frames_bgr_u8)
+        valid, boxes = self._gated(frames_dev, gray)
         valid_np = np.asarray(valid)
         boxes_np = np.asarray(boxes)
         idx = np.nonzero(valid_np)[0]
@@ -287,7 +406,6 @@ class GlottalPipelines:
         w0, h0 = int(b0[2] - b0[0]), int(b0[3] - b0[1])
         if w0 <= 0 or h0 <= 0:
             return np.zeros(t, np.float32)
-        gray = bgr_to_gray_u8(jnp.asarray(frames_bgr_u8))
         n = len(idx)
         n_pad = _bucket(n, 64)
         sel = jnp.asarray(np.pad(idx, (0, n_pad - n), constant_values=idx[-1]))
@@ -308,13 +426,12 @@ class GlottalPipelines:
 
     def guided_vft_areas(self, frames_bgr_u8):
         """YOLO bbox as ROI on the full frame (features.py:147-196)."""
-        from openglottal_tpu.data.video import bgr_to_gray_u8
-
         t = len(frames_bgr_u8)
         if t < YGVFT_INIT + 2:  # features.py:169-170
             return None
-        valid, boxes = self.gated_boxes(frames_bgr_u8)
-        gray = bgr_to_gray_u8(jnp.asarray(frames_bgr_u8)).astype(jnp.float32)
+        frames_dev, gray = self._prepare(frames_bgr_u8)
+        valid, boxes = self._gated(frames_dev, gray)
+        gray = gray.astype(jnp.float32)
         valid_np = np.asarray(valid[:YGVFT_INIT])
         fi = int(np.argmax(valid_np)) if valid_np.any() else 0
         first_valid = jnp.asarray(bool(valid_np.any()))
@@ -340,17 +457,14 @@ class GlottalPipelines:
         Returns (masks (T,H,W) bool|None, valids (T,) bool|None,
         boxes (T,4) i32|None, areas (T,) f32).
         """
-        from openglottal_tpu.data.video import bgr_to_gray_u8
-
-        frames = jnp.asarray(frames_bgr_u8)
-        t, h, w = frames.shape[:3]
-        gray = bgr_to_gray_u8(frames)
+        frames_dev, gray = self._prepare(frames_bgr_u8)
+        t, h, w = gray.shape[:3]
 
         if pipeline == "unet-only":
             masks = self.segment_video(gray)
             return masks, None, None, masks.sum((1, 2)).astype(jnp.float32)
 
-        valid, boxes = self.gated_boxes(frames)
+        valid, boxes = self._gated(frames_dev, gray)
 
         if pipeline == "unet":
             masks = self.segment_video(gray)
@@ -365,7 +479,7 @@ class GlottalPipelines:
             return masks, valid, boxes, masks.sum((1, 2)).astype(jnp.float32)
 
         if pipeline == "guided-vft":
-            areas_np = self.guided_vft_areas(np.asarray(frames_bgr_u8))
+            areas_np = self.guided_vft_areas(frames_bgr_u8)
             n = t - YGVFT_INIT
             n_pad = _bucket(n, 64)
             from openglottal_tpu.models.tracker import ygvft_scan
@@ -385,7 +499,7 @@ class GlottalPipelines:
         if pipeline == "vft":
             # project locked-size crop masks back into the frame at the
             # current box (truncating overlap, infer.py:177-181)
-            areas_np = self.vft_areas(np.asarray(frames_bgr_u8))
+            areas_np = self.vft_areas(frames_bgr_u8)
             if areas_np is None:
                 areas_np = np.zeros(t, np.float32)
             valid_np, boxes_np = np.asarray(valid), np.asarray(boxes)
@@ -421,22 +535,21 @@ class GlottalPipelines:
     # ── feature extraction entry points (reference features.py API) ──────
 
     def extract_features(self, frames_bgr_u8, pipeline: str):
-        from openglottal_tpu.data.video import bgr_to_gray_u8
-
-        frames_bgr_u8 = np.asarray(frames_bgr_u8)
-        if frames_bgr_u8.shape[0] == 0:
+        """Reference features.py API over host frames; each pipeline does its
+        own single (monochrome-aware) host->device transfer."""
+        if len(frames_bgr_u8) == 0:
             return None
         if pipeline == "vft":
             areas = self.vft_areas(frames_bgr_u8)
         elif pipeline == "guided-vft":
             areas = self.guided_vft_areas(frames_bgr_u8)
         elif pipeline == "unet":
-            areas = np.asarray(self.yolo_unet_areas(jnp.asarray(frames_bgr_u8)))
+            areas = np.asarray(self.yolo_unet_areas(frames_bgr_u8))
         elif pipeline == "unet-only":
-            gray = bgr_to_gray_u8(jnp.asarray(frames_bgr_u8))
+            _, gray = self._prepare(frames_bgr_u8)
             areas = np.asarray(self.unet_only_areas(gray))
         elif pipeline == "crop-unet":
-            masks, valid, boxes = self.crop_unet_masks(jnp.asarray(frames_bgr_u8))
+            masks, valid, boxes = self.crop_unet_masks(frames_bgr_u8)
             areas = np.asarray(_box_area_sums(masks, valid, boxes))
         else:
             raise ValueError(f"unknown pipeline {pipeline!r}")
