@@ -1,0 +1,106 @@
+"""End-to-end self-test without datasets: train U-Net + YOLO on synthetic
+glottis videos, then run the full GIRAFE-style evaluation.
+
+This is the framework's integration gate (SURVEY.md §4d): it exercises the
+trainers, checkpoints, batched pipelines, temporal gate and the evaluation
+core with REAL (trained) weights.  Expected outcome on the synthetic domain:
+U-Net Dice > 0.9, detector recall > 0.95, yolo+unet Dice close to unet-only.
+
+Usage:  python scripts/selftest_e2e.py [--epochs-unet 6] [--epochs-yolo 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def make_dataset(n_videos: int, t: int, seed0: int):
+    from openglottal_tpu.data.synthetic import synthetic_video, synthetic_gt_boxes
+
+    frames, masks, boxes = [], [], []
+    for s in range(n_videos):
+        rng = np.random.default_rng(seed0 + s)
+        cy, cx = rng.uniform(70, 186, 2)
+        f, m = synthetic_video(t=t, size=256, center=(cy, cx), seed=seed0 + s,
+                               drift_px=0.6)
+        frames.append(f)
+        masks.append(m)
+        boxes.append(synthetic_gt_boxes(m, dilate=10))
+    return (np.concatenate(frames), np.concatenate(masks),
+            np.concatenate(boxes))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs-unet", type=int, default=6)
+    p.add_argument("--epochs-yolo", type=int, default=20)
+    p.add_argument("--output-dir", default="outputs/selftest")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from openglottal_tpu.data.video import bgr_to_gray_u8
+    from openglottal_tpu.eval import aggregate, evaluate_patient
+    from openglottal_tpu.pipelines import GlottalPipelines
+    from openglottal_tpu.train.unet_trainer import UNetTrainer
+    from openglottal_tpu.train.yolo_trainer import YoloTrainer
+
+    t0 = time.time()
+    tr_f, tr_m, tr_b = make_dataset(10, 24, seed0=100)
+    va_f, va_m, va_b = make_dataset(2, 16, seed0=900)
+    te_f, te_m, te_b = make_dataset(2, 40, seed0=990)
+    gray_tr = np.asarray(bgr_to_gray_u8(tr_f))
+    gray_va = np.asarray(bgr_to_gray_u8(va_f))
+    print(f"dataset: train {len(tr_f)} / val {len(va_f)} / test {len(te_f)} "
+          f"frames ({time.time()-t0:.0f}s)", flush=True)
+
+    # ── train U-Net ────────────────────────────────────────────────────────
+    ut = UNetTrainer(batch_size=16, lr=1e-3)
+    ustate, _, uhist = ut.fit(gray_tr, tr_m.astype(np.uint8), gray_va,
+                              va_m.astype(np.uint8), epochs=args.epochs_unet,
+                              ckpt_dir=f"{args.output_dir}/unet", verbose=True)
+    uvars = {"params": ustate.params, "batch_stats": ustate.batch_stats}
+
+    # ── train YOLO ─────────────────────────────────────────────────────────
+    yt = YoloTrainer(batch_size=16, lr=2e-3)
+    ystate, yhist = yt.fit(tr_f[..., ::-1], tr_b, va_f[..., ::-1], va_b,
+                           epochs=args.epochs_yolo,
+                           ckpt_dir=f"{args.output_dir}/yolo", verbose=True)
+    yvars = {"params": ystate.params, "batch_stats": ystate.batch_stats}
+    final_recall = yhist[-1].get("recall/val")
+
+    # ── evaluate (GIRAFE protocol, synthetic test patients) ───────────────
+    pipe = GlottalPipelines(unet_variables=uvars, crop_unet_variables=uvars,
+                            yolo_variables=yvars, conf=0.25)
+    per_patient = {}
+    for k in range(2):
+        sl = slice(k * 40, (k + 1) * 40)
+        per_patient[f"synth{k}"] = evaluate_patient(
+            pipe, te_f[sl], te_m[sl], sequential=True)
+    agg = aggregate(per_patient)
+
+    report = {p_: {k: v for k, v in row.items() if k not in ("dices", "ious")}
+              for p_, row in agg.items()}
+    report["yolo_final_recall"] = final_recall
+    print(json.dumps(report, indent=2))
+
+    ok = (agg["unet-only"]["dice"] > 0.85
+          and agg.get("yolo+unet", {}).get("dice", 0) > 0.8
+          and (final_recall or 0) > 0.9)
+    print("SELFTEST", "PASS" if ok else "FAIL", f"({time.time()-t0:.0f}s total)")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

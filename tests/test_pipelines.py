@@ -1,0 +1,76 @@
+"""End-to-end pipeline behavior on synthetic videos (untrained weights;
+checks plumbing, shapes, reference edge-case semantics, and consistency
+between the fused fast path and the modular path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openglottal_tpu.data.synthetic import synthetic_video
+from openglottal_tpu.data.video import bgr_to_gray_u8
+from openglottal_tpu.models.unet import init_unet
+from openglottal_tpu.models.yolo import init_yolo
+from openglottal_tpu.pipelines import GlottalPipelines, is_monochrome
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    _, uv = init_unet(k1, dtype=jnp.float32)
+    _, yv = init_yolo(k2, dtype=jnp.float32)
+    return GlottalPipelines(unet_variables=uv, crop_unet_variables=uv,
+                            yolo_variables=yv, conf=0.0, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def video():
+    return synthetic_video(t=12, size=256, seed=5)[0]
+
+
+def test_monochrome_detection(video):
+    assert is_monochrome(video)
+    color = video.copy()
+    color[0, 0, 0, 0] ^= 255
+    assert not is_monochrome(color)
+
+
+def test_fused_path_matches_modular(pipe, video):
+    gray = np.asarray(bgr_to_gray_u8(video))
+    fused = np.asarray(pipe.yolo_unet_areas_gray(gray))
+    # modular path: segment + gate + box sums with the BGR input
+    from openglottal_tpu.pipelines import _box_area_sums
+
+    fdev = jax.device_put(video)
+    masks = pipe.segment_video(jax.device_put(gray))
+    valid, boxes = pipe._gated(fdev, None)
+    modular = np.asarray(_box_area_sums(masks, valid, boxes))
+    np.testing.assert_allclose(fused, modular, atol=0.5)
+
+
+def test_extract_features_all_pipelines(pipe, video):
+    for p in ["unet-only", "unet", "crop-unet", "guided-vft"]:
+        feats = pipe.extract_features(video, p)
+        assert feats is None or "area_mean" in feats, p
+
+
+def test_empty_and_short_video(pipe, video):
+    assert pipe.extract_features(np.zeros((0, 256, 256, 3), np.uint8),
+                                 "unet-only") is None
+    assert pipe.extract_features(video[:5], "vft") is None  # < init+5
+
+
+def test_no_detection_silent(pipe, video):
+    hi = GlottalPipelines(unet_variables=pipe.unet_variables,
+                          yolo_variables=pipe.yolo_variables,
+                          conf=1.1, dtype=jnp.float32)
+    assert hi.extract_features(video, "unet") is None
+
+
+def test_run_pipeline_full_shapes(pipe, video):
+    masks, valid, boxes, areas = pipe.run_pipeline_full(video, "unet")
+    t = len(video)
+    assert masks.shape == (t, 256, 256)
+    assert valid.shape == (t,)
+    assert boxes.shape == (t, 4)
+    assert areas.shape == (t,)
