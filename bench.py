@@ -25,10 +25,17 @@ import numpy as np
 
 
 def main() -> None:
+    import argparse
+
     from openglottal_tpu.data.synthetic import synthetic_video
     from openglottal_tpu.models.unet import init_unet
     from openglottal_tpu.models.yolo import init_yolo
     from openglottal_tpu.pipelines import GlottalPipelines
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default=None,
+                    help="Write a jax.profiler trace of one batch to this dir.")
+    args, _ = ap.parse_known_args()
 
     t_frames = 502  # paper timing workload (benchmark_video_speed.py:5)
     n_videos = 8    # steady-state batch workload (analyze_gaw processes 65)
@@ -51,6 +58,11 @@ def main() -> None:
 
     run_batch()  # warmup / compile
     run_batch()
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            run_batch()
+        print(f"# trace written to {args.profile}", flush=True)
 
     # host->device bandwidth through the shared TPU tunnel fluctuates 10-20x
     # with pool contention; median-of-5 batches is robust to the spikes

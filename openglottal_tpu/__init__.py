@@ -25,4 +25,26 @@ __version__ = "0.1.0"
 from openglottal_tpu.models.unet import UNet  # noqa: F401
 from openglottal_tpu.models.gate import TemporalGate  # noqa: F401
 
-__all__ = ["UNet", "TemporalGate", "__version__"]
+# reference-compatible API (openglottal/__init__.py:5-20) — lazy to keep
+# bare imports light
+def __getattr__(name):
+    compat_names = {
+        "TemporalDetector", "extract_features_detector",
+        "extract_features_yolo_guided_vft", "extract_features_unet",
+    }
+    if name in compat_names:
+        import openglottal_tpu.compat as compat
+
+        return getattr(compat, name)
+    if name == "GlottalPipelines":
+        from openglottal_tpu.pipelines import GlottalPipelines
+
+        return GlottalPipelines
+    raise AttributeError(name)
+
+
+__all__ = [
+    "UNet", "TemporalGate", "GlottalPipelines", "TemporalDetector",
+    "extract_features_detector", "extract_features_yolo_guided_vft",
+    "extract_features_unet", "__version__",
+]

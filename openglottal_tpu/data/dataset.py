@@ -85,3 +85,39 @@ def load_split_json(path) -> dict:
     (reference data.py:120-125)."""
     with open(path) as f:
         return json.load(f)
+
+
+# ── HDF5 cache (reference data.py:200-329 format compatibility) ──────────────
+
+
+def build_glottis_hdf5(fnames, img_dir, lbl_dir, output_path,
+                       label_suffix: str = "", size: int = 256):
+    """Write letterboxed images and {0,1} masks to HDF5 with the reference's
+    exact layout (datasets ``images``/``masks``/``fnames``, data.py:200-259)
+    so caches interchange with the reference toolchain."""
+    import h5py
+
+    from pathlib import Path as _P
+
+    images, masks = materialize_split(fnames, img_dir, lbl_dir, label_suffix)
+    output_path = _P(output_path)
+    output_path.parent.mkdir(parents=True, exist_ok=True)
+    n = len(fnames)
+    with h5py.File(output_path, "w") as f:
+        f.create_dataset("images", data=images, dtype="u1",
+                         chunks=(1, size, size))
+        f.create_dataset("masks", data=masks, dtype="u1",
+                         chunks=(1, size, size))
+        ds = f.create_dataset("fnames", (n,), dtype=h5py.special_dtype(vlen=str))
+        for i, fname in enumerate(fnames):
+            ds[i] = fname
+    return output_path
+
+
+def load_glottis_hdf5(h5_path) -> tuple[np.ndarray, np.ndarray]:
+    """Load a reference-format HDF5 cache into packed arrays (the TPU
+    trainer wants whole-split arrays, not per-item reads)."""
+    import h5py
+
+    with h5py.File(h5_path, "r") as f:
+        return f["images"][:], f["masks"][:]

@@ -238,7 +238,7 @@ class GlottalPipelines:
                  gate_params: GateParams = GateParams(),
                  vft_params: VFTParams = VFTParams(),
                  ygvft_params: YGVFTParams = YGVFTParams(),
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, mesh=None):
         self.unet_variables = unet_variables
         self.crop_unet_variables = crop_unet_variables
         self.yolo_variables = yolo_variables
@@ -247,6 +247,23 @@ class GlottalPipelines:
         self.vft_params = vft_params
         self.ygvft_params = ygvft_params
         self.dtype = dtype
+        self.mesh = mesh
+        if mesh is not None:
+            # frame-axis ("sequence") sharding: each CHUNK splits over the
+            # mesh's data axis; gate/feature scans consume gathered summaries
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._chunk_spec = NamedSharding(mesh, P("data"))
+            self._repl_spec = NamedSharding(mesh, P())
+            self.unet_variables = (jax.device_put(unet_variables, self._repl_spec)
+                                   if unet_variables is not None else None)
+            self.crop_unet_variables = (
+                jax.device_put(crop_unet_variables, self._repl_spec)
+                if crop_unet_variables is not None else None)
+            self.yolo_variables = (jax.device_put(yolo_variables, self._repl_spec)
+                                   if yolo_variables is not None else None)
+        else:
+            self._chunk_spec = None
 
     # ── chunked model passes ──────────────────────────────────────────────
 
@@ -257,6 +274,8 @@ class GlottalPipelines:
             chunk = [
                 _pad_to(a[i : i + CHUNK], CHUNK) for a in arrays
             ]
+            if self._chunk_spec is not None:
+                chunk = [jax.device_put(c, self._chunk_spec) for c in chunk]
             outs.append(fn(*chunk))
         if isinstance(outs[0], tuple):
             return tuple(jnp.concatenate([o[k] for o in outs])[:t]

@@ -123,15 +123,37 @@ class UNetTrainer:
     def fit(self, train_imgs, train_msks, val_imgs, val_msks,
             epochs: int = 50, patience: int | None = None,
             ckpt_dir=None, log_every: int = 50, verbose: bool = True,
-            state: TrainState | None = None):
+            state: TrainState | None = None, tensorboard_dir=None):
+        tb = None
+        if tensorboard_dir is not None:
+            # same scalar tags as the reference (train_unet.py:198-200)
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb = SummaryWriter(tensorboard_dir)
         if state is None:
             state = self.init_state()
         n = len(train_imgs)
         bs = self.batch_size
-        train_imgs = jnp.asarray(train_imgs)
-        train_msks = jnp.asarray(train_msks)
-        val_imgs = jnp.asarray(val_imgs)
-        val_msks = jnp.asarray(val_msks)
+        if self.mesh is not None:
+            # dp: batch sharded over the mesh's data axis, params replicated;
+            # XLA inserts the grad psum from the sharding annotations
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = self.mesh.shape["data"]
+            assert bs % n_data == 0, (
+                f"batch {bs} must divide over {n_data} data-parallel devices")
+            self._bspec = NamedSharding(self.mesh, P("data"))
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+            train_imgs = np.asarray(train_imgs)
+            train_msks = np.asarray(train_msks)
+            val_imgs = np.asarray(val_imgs)
+            val_msks = np.asarray(val_msks)
+        else:
+            self._bspec = None
+            train_imgs = jnp.asarray(train_imgs)
+            train_msks = jnp.asarray(train_msks)
+            val_imgs = jnp.asarray(val_imgs)
+            val_msks = jnp.asarray(val_msks)
         best_val = float("inf")
         best_params = None
         bad_epochs = 0
@@ -145,20 +167,30 @@ class UNetTrainer:
             t0 = time.time()
             losses = []
             for i in range(0, n - bs + 1, bs):
-                idx = jnp.asarray(perm[i:i + bs])
+                if self._bspec is not None:
+                    bi = jax.device_put(train_imgs[perm[i:i + bs]], self._bspec)
+                    bm = jax.device_put(train_msks[perm[i:i + bs]], self._bspec)
+                else:
+                    idx = jnp.asarray(perm[i:i + bs])
+                    bi, bm = train_imgs[idx], train_msks[idx]
                 k, self.rng = jax.random.split(self.rng)
-                state, l = unet_train_step(
-                    self.model, self.tx, state,
-                    train_imgs[idx], train_msks[idx], k,
-                )
+                state, l = unet_train_step(self.model, self.tx, state, bi, bm, k)
                 losses.append(l)
             train_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
 
             vlosses = []
-            for i in range(0, len(val_imgs), bs):
+            for i in range(0, len(val_imgs) - (bs - 1), bs):
+                vi, vm = val_imgs[i:i + bs], val_msks[i:i + bs]
+                if self._bspec is not None:
+                    vi = jax.device_put(vi, self._bspec)
+                    vm = jax.device_put(vm, self._bspec)
                 vlosses.append(unet_eval_loss(
-                    self.model, state.params, state.batch_stats,
-                    val_imgs[i:i + bs], val_msks[i:i + bs]))
+                    self.model, state.params, state.batch_stats, vi, vm))
+            if not vlosses and len(val_imgs):
+                vi, vm = val_imgs, val_msks
+                if self._bspec is None:
+                    vlosses.append(unet_eval_loss(
+                        self.model, state.params, state.batch_stats, vi, vm))
             val_loss = float(jnp.stack(vlosses).mean()) if vlosses else float("nan")
 
             rec = {"epoch": epoch + 1, "loss/train": train_loss,
@@ -167,6 +199,10 @@ class UNetTrainer:
             history.append(rec)
             if verbose:
                 print(json.dumps(rec), flush=True)
+            if tb is not None:
+                tb.add_scalar("loss/train", train_loss, epoch + 1)
+                tb.add_scalar("loss/val", val_loss, epoch + 1)
+                tb.add_scalar("lr", lr, epoch + 1)
             if ckpt_dir is not None:
                 self.save(ckpt_dir, state, name="latest")
                 (Path(ckpt_dir) / "metrics.jsonl").open("a").write(
@@ -186,6 +222,8 @@ class UNetTrainer:
                         print(f"early stop at epoch {epoch + 1} "
                               f"(no val improvement for {patience})", flush=True)
                     break
+        if tb is not None:
+            tb.close()
         return state, best_params, history
 
     # ── checkpoint I/O (orbax) ────────────────────────────────────────────

@@ -162,8 +162,11 @@ class YoloTrainer:
         vd = jnp.asarray(boxes[:, 0] >= 0)
         order_rng = np.random.default_rng(42)  # seed 42 like the reference splits
         history = []
+        warmup = min(3, max(1, epochs // 10))  # ultralytics-style lr warmup
         for epoch in range(epochs):
             lr = self.lr0 * (1 + math.cos(math.pi * epoch / epochs)) / 2
+            if epoch < warmup:
+                lr = self.lr0 * (epoch + 1) / (warmup + 1)
             state = self.set_lr(state, lr)
             perm = order_rng.permutation(n)
             losses = []

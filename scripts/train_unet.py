@@ -35,6 +35,11 @@ def main() -> None:
     p.add_argument("--output-dir", default="outputs/unet")
     p.add_argument("--cache-dir", default="outputs/cache")
     p.add_argument("--val-key", default="Val")
+    p.add_argument("--tensorboard", default=None,
+                   help="TensorBoard log dir (reference train_unet.py:166).")
+    p.add_argument("--hdf5-cache", default=None,
+                   help="Load a reference-format HDF5 cache instead of PNGs "
+                        "(data.py:200-329; expects <name>_train.h5/_val.h5).")
     args = p.parse_args()
 
     import jax
@@ -44,12 +49,18 @@ def main() -> None:
 
     splits = load_split_json(args.training_json)
     print(f"train {len(splits['training'])} / val {len(splits[args.val_key])}")
-    tr_i, tr_m = materialize_split(splits["training"], args.images_dir,
-                                   args.labels_dir, args.label_suffix,
-                                   cache_dir=args.cache_dir)
-    va_i, va_m = materialize_split(splits[args.val_key], args.images_dir,
-                                   args.labels_dir, args.label_suffix,
-                                   cache_dir=args.cache_dir)
+    if args.hdf5_cache:
+        from openglottal_tpu.data.dataset import load_glottis_hdf5
+
+        tr_i, tr_m = load_glottis_hdf5(f"{args.hdf5_cache}_train.h5")
+        va_i, va_m = load_glottis_hdf5(f"{args.hdf5_cache}_val.h5")
+    else:
+        tr_i, tr_m = materialize_split(splits["training"], args.images_dir,
+                                       args.labels_dir, args.label_suffix,
+                                       cache_dir=args.cache_dir)
+        va_i, va_m = materialize_split(splits[args.val_key], args.images_dir,
+                                       args.labels_dir, args.label_suffix,
+                                       cache_dir=args.cache_dir)
 
     trainer = UNetTrainer(lr=args.lr, batch_size=args.batch)
     state = None
@@ -65,7 +76,7 @@ def main() -> None:
 
     state, best, history = trainer.fit(
         tr_i, tr_m, va_i, va_m, epochs=args.epochs, patience=args.patience,
-        ckpt_dir=args.output_dir, state=state,
+        ckpt_dir=args.output_dir, state=state, tensorboard_dir=args.tensorboard,
     )
     best_val = min(h["loss/val"] for h in history)
     print(json.dumps({"best_val_loss": best_val, "epochs_run": len(history)}))
