@@ -311,12 +311,34 @@ class GlottalPipelines:
         return f, bgr_to_gray_u8(f)
 
     def _gated(self, frames_dev, gray_dev, sequential: bool = True):
-        if frames_dev is not None:
+        h, w = (frames_dev if frames_dev is not None else gray_dev).shape[1:3]
+        if (h, w) != (256, 256):
+            # non-native sizes: letterbox to the detector's 256² input and
+            # map boxes back (ultralytics letterboxes internally; every
+            # reference eval path pre-letterboxes, so this is the rare case)
+            from openglottal_tpu.ops.resize import letterbox, letterbox_info
+
+            pt, pl, ch, cw = letterbox_info(h, w, 256)
+            scale = max(h, w) / 256.0
+            if frames_dev is not None:
+                boxed = jnp.stack([
+                    letterbox(frames_dev[..., c].astype(jnp.float32), 256,
+                              method="linear") for c in range(3)], -1)
+                has, raw, _ = self.detect_video(
+                    jnp.clip(jnp.round(boxed), 0, 255).astype(jnp.uint8))
+            else:
+                boxed = letterbox(gray_dev.astype(jnp.float32), 256,
+                                  method="linear")
+                has, raw, _ = self.detect_video_gray(
+                    jnp.clip(jnp.round(boxed), 0, 255).astype(jnp.uint8))
+            raw = jnp.stack([
+                (raw[:, 0] - pl) * scale, (raw[:, 1] - pt) * scale,
+                (raw[:, 2] - pl) * scale, (raw[:, 3] - pt) * scale], -1)
+            raw = jnp.clip(raw, 0, jnp.asarray([w, h, w, h], jnp.float32))
+        elif frames_dev is not None:
             has, raw, _ = self.detect_video(frames_dev)
-            h, w = frames_dev.shape[1:3]
         else:
             has, raw, _ = self.detect_video_gray(gray_dev)
-            h, w = gray_dev.shape[1:3]
         if sequential:
             return gate_scan(has, raw, h, w, params=self.gate_params)
         from openglottal_tpu.models.gate import gate_single

@@ -63,12 +63,16 @@ def main() -> None:
         avis = sorted(pdir.glob("*.avi"))
         if not avis:
             continue
-        frames = load_frames_bgr(avis[0])
-        if len(frames) == 0:
-            print(f"  WARNING: {pdir.name}: unreadable video, skipping")
+        try:  # per-patient fault tolerance: one bad video must not kill the study
+            frames = load_frames_bgr(avis[0])
+            if len(frames) == 0:
+                print(f"  WARNING: {pdir.name}: unreadable video, skipping")
+                continue
+            areas = np.asarray(pipe.yolo_unet_areas(frames))
+            feats = kinematic_features(areas)
+        except Exception as e:  # noqa: BLE001
+            print(f"  WARNING: {pdir.name}: failed ({type(e).__name__}: {e})")
             continue
-        areas = np.asarray(pipe.yolo_unet_areas(frames))
-        feats = kinematic_features(areas)
         if feats is None:
             print(f"  WARNING: {pdir.name}: silent waveform")
             continue
