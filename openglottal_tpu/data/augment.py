@@ -16,7 +16,6 @@ unseeded (SURVEY.md §4.4).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

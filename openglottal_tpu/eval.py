@@ -15,15 +15,13 @@ batched U-Net pass + vectorized per-frame metrics — no per-frame Python.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openglottal_tpu.models.gate import GateParams
 from openglottal_tpu.ops.histogram import masked_histogram_u8
-from openglottal_tpu.pipelines import GlottalPipelines, _box_area_sums
+from openglottal_tpu.pipelines import GlottalPipelines
 
 PIPELINES = ["unet-only", "yolo+otsu", "yolo+unet", "yolo-crop+unet", "yolo+motion"]
 

@@ -19,7 +19,6 @@ validity mask (glottis data has M=1 real box).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

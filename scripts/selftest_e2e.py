@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def make_dataset(n_videos: int, t: int, seed0: int):
+def make_dataset(n_videos: int, t: int, seed0: int, realistic: bool = False):
     from openglottal_tpu.data.synthetic import synthetic_video, synthetic_gt_boxes
 
     frames, masks, boxes = [], [], []
@@ -32,7 +32,7 @@ def make_dataset(n_videos: int, t: int, seed0: int):
         rng = np.random.default_rng(seed0 + s)
         cy, cx = rng.uniform(70, 186, 2)
         f, m = synthetic_video(t=t, size=256, center=(cy, cx), seed=seed0 + s,
-                               drift_px=0.6)
+                               drift_px=0.6, realistic=realistic)
         frames.append(f)
         masks.append(m)
         boxes.append(synthetic_gt_boxes(m, dilate=10))
@@ -44,6 +44,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--epochs-unet", type=int, default=6)
     p.add_argument("--epochs-yolo", type=int, default=20)
+    p.add_argument("--realistic", action="store_true",
+                   help="Endoscopy-like synthetic data (vignette, specular "
+                        "highlights, fold texture) — harder domain.")
     p.add_argument("--output-dir", default="outputs/selftest")
     args = p.parse_args()
 
@@ -57,9 +60,9 @@ def main() -> None:
     from openglottal_tpu.train.yolo_trainer import YoloTrainer
 
     t0 = time.time()
-    tr_f, tr_m, tr_b = make_dataset(10, 24, seed0=100)
-    va_f, va_m, va_b = make_dataset(2, 16, seed0=900)
-    te_f, te_m, te_b = make_dataset(2, 40, seed0=990)
+    tr_f, tr_m, tr_b = make_dataset(10, 24, seed0=100, realistic=args.realistic)
+    va_f, va_m, va_b = make_dataset(2, 16, seed0=900, realistic=args.realistic)
+    te_f, te_m, te_b = make_dataset(2, 40, seed0=990, realistic=args.realistic)
     gray_tr = np.asarray(bgr_to_gray_u8(tr_f))
     gray_va = np.asarray(bgr_to_gray_u8(va_f))
     print(f"dataset: train {len(tr_f)} / val {len(va_f)} / test {len(te_f)} "
