@@ -112,6 +112,18 @@ def connected_components(mask, iters: int = 4096, connectivity: int = 8):
     return _propagate(mask.astype(jnp.bool_), iters, connectivity)
 
 
+def _pad_tileable(mask):
+    """Pad a boolean mask so the Pallas CC kernel's (8, 128) tiling applies
+    (padding is background touching the border — blob semantics unchanged).
+    Returns (padded, (h, w)) with original dims for cropping back."""
+    h, w = mask.shape
+    ph = (-h) % 8
+    pw = (-w) % 128
+    if ph or pw:
+        mask = jnp.pad(mask, ((0, ph), (0, pw)))
+    return mask, (h, w)
+
+
 @partial(jax.jit, static_argnums=(1,))
 def fill_holes(mask, iters: int = 4096):
     """Fill interior holes: background 4-components not touching the border."""
@@ -168,17 +180,23 @@ def _component_tree(mask, iters: int):
 
     # Violation check: bg comp H is NOT a hole if some 8-adjacent fg comp X is
     # neither H's enclosing comp nor nested inside H (bg_parent[X] != H).
-    viol = jnp.zeros((hw + 1,), jnp.bool_)
+    # Vectorised: gather the two per-pixel maps ONCE, then compare via cheap
+    # neighbourhood shifts — 2 gathers + 1 scatter instead of 8 of each.
+    fgp_pix = fg_parent[flatB].reshape(h, w)   # enclosing comp of my bg comp
+    bgpar_pix = bg_parent[flatF].reshape(h, w)  # surrounding bg comp of my fg comp
     padF = jnp.pad(labF, 1, constant_values=hw)
-    fgp_pix = fg_parent[flatB]  # per-pixel: enclosing comp of this bg pixel's comp
+    padP = jnp.pad(bgpar_pix, 1, constant_values=hw)
+    labB2 = labB
+    bad_any = jnp.zeros((h, w), jnp.bool_)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            nb = jax.lax.dynamic_slice(padF, (1 + dy, 1 + dx), (h, w)).reshape(-1)
-            is_fg = nb != hw
-            bad = is_fg & (nb != fgp_pix) & (bg_parent[nb] != flatB)
-            viol = viol.at[flatB].max(bad & ~mask.reshape(-1))
+            nbF = jax.lax.dynamic_slice(padF, (1 + dy, 1 + dx), (h, w))
+            nbP = jax.lax.dynamic_slice(padP, (1 + dy, 1 + dx), (h, w))
+            bad_any |= (nbF != hw) & (nbF != fgp_pix) & (nbP != labB2)
+    viol = jnp.zeros((hw + 1,), jnp.bool_).at[flatB].max(
+        (bad_any & ~mask).reshape(-1))
     hole = ~outside & ~viol & (fg_parent != hw)
 
     # absorb-root chase: nested fg comp -> enclosing fg comp (depth <= 4 real)
@@ -204,7 +222,7 @@ def top_n_blobs(mask, n: int, iters: int = 4096):
 
     Returns a boolean mask.
     """
-    mask = mask.astype(jnp.bool_)
+    mask, (oh, ow) = _pad_tileable(mask.astype(jnp.bool_))
     h, w = mask.shape
     hw = h * w
     labF, labB, rootF, hole = _component_tree(mask, iters)
@@ -229,7 +247,7 @@ def top_n_blobs(mask, n: int, iters: int = 4096):
     lutF = jnp.concatenate([flatF, jnp.int32(hw)[None]])
     owner = rootF[lutF[up]]                       # bg comp id -> top-level owner
     out_bg = hole[flatB] & keep[owner[flatB]] & ~mask.reshape(-1)
-    return (out_fg | out_bg).reshape(h, w)
+    return (out_fg | out_bg).reshape(h, w)[:oh, :ow]
 
 
 def largest_blob(mask, iters: int = 4096):
