@@ -94,8 +94,10 @@ def evaluate_patient(pipe: GlottalPipelines, frames_bgr, gt_masks,
     from openglottal_tpu.models.tracker import ygvft_scan
     from openglottal_tpu.pipelines import YGVFT_INIT, _pad_to, _bucket
 
-    frames_bgr = jnp.asarray(frames_bgr)
-    gt = jnp.asarray(gt_masks)
+    from openglottal_tpu.pipelines import to_device
+
+    frames_bgr = to_device(np.asarray(frames_bgr))
+    gt = to_device(np.asarray(gt_masks))
     gray = bgr_to_gray_u8(frames_bgr)
     out = {}
 

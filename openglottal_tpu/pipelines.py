@@ -142,6 +142,24 @@ def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
     return _box_area_sums(masks, valid, boxes)
 
 
+@partial(jax.jit, static_argnames=("dtype",))
+def _fused_unet_only_video(unet_variables, gray_u8, dtype):
+    """ONE dispatch: whole monochrome 256² video -> full-frame area waveform
+    (pipeline 5).  Chunks under lax.map for bounded HBM."""
+    t_pad = gray_u8.shape[0]
+    h, w = gray_u8.shape[1:]
+    chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
+    unet = UNet(dtype=dtype)
+
+    def per_chunk(g):
+        x = (g.astype(jnp.float32) / 255.0)[..., None]
+        masks = jax.nn.sigmoid(
+            unet.apply(unet_variables, x, train=False)[..., 0]) > 0.5
+        return masks.sum((1, 2)).astype(jnp.float32)
+
+    return jax.lax.map(per_chunk, chunks).reshape(t_pad)
+
+
 def is_monochrome(frames_np) -> bool:
     """Host-side check whether a (T, H, W, 3) uint8 video has equal channels
     (checked on first/middle/last frames)."""
@@ -379,7 +397,12 @@ class GlottalPipelines:
     # ── pipelines 3/5: full-frame U-Net ───────────────────────────────────
 
     def unet_only_areas(self, gray_u8):
-        masks = self.segment_video(gray_u8)
+        gray = to_device(gray_u8)
+        t, h, w = gray.shape
+        if (h, w) == (256, 256):
+            return _fused_unet_only_video(
+                self.unet_variables, _pad_to(gray, _bucket(t)), self.dtype)[:t]
+        masks = self.segment_video(gray)
         return masks.sum((1, 2)).astype(jnp.float32)
 
     def yolo_unet_areas(self, frames_bgr_u8, gray_u8=None):

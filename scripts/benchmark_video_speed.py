@@ -72,10 +72,12 @@ def main() -> None:
 
     print(f"Benchmark on {jax.devices()[0].platform} "
           f"({jax.devices()[0].device_kind})")
+    # numpy in: the pipelines do ONE fast device_put per call (never
+    # jnp.asarray — 10x slower through the TPU tunnel; see pipelines.to_device)
     timed(lambda: jax.block_until_ready(
-        pipe.unet_only_areas(jnp.asarray(gray))), "U-Net only", claim_fps=45.6)
+        pipe.unet_only_areas(gray)), "U-Net only", claim_fps=45.6)
     timed(lambda: jax.block_until_ready(
-        pipe.yolo_unet_areas(jnp.asarray(frames))), "YOLO+UNet", claim_fps=35.0)
+        pipe.yolo_unet_areas(frames)), "YOLO+UNet", claim_fps=35.0)
 
 
 if __name__ == "__main__":

@@ -114,10 +114,13 @@ def main() -> None:
         conf=args.conf,
     )
 
+    from openglottal_tpu.pipelines import to_device
+
     frames, gts = load_letterboxed(Path(args.test_dir), args.max_images)
     print(f"Evaluating {len(frames)} letterboxed frames")
-    gray = bgr_to_gray_u8(jnp.asarray(frames))
-    gt_j = jnp.asarray(gts)
+    frames_dev = to_device(frames)
+    gray = bgr_to_gray_u8(frames_dev)
+    gt_j = to_device(gts)
 
     agg = {}
     masks_u = pipe.segment_video(gray)
@@ -126,7 +129,7 @@ def main() -> None:
 
     det_stats = None
     if args.yolo_weights:
-        valid, boxes = pipe.gated_boxes(jnp.asarray(frames), sequential=False)
+        valid, boxes = pipe.gated_boxes(frames_dev, sequential=False)
         det = np.asarray(valid)
         det_stats = detection_stats(det, np.asarray(boxes), gts)
         d, i = frame_metrics_batch(box_masked(masks_u, valid, boxes), gt_j)
@@ -139,7 +142,7 @@ def main() -> None:
                     jnp.clip(boxes[:, 1] - args.crop_pad, 0, 256),
                     jnp.clip(boxes[:, 2] + args.crop_pad, 0, 256),
                     jnp.clip(boxes[:, 3] + args.crop_pad, 0, 256)], -1)
-            cm, _, _ = pipe.crop_unet_masks(jnp.asarray(frames), gray_u8=gray,
+            cm, _, _ = pipe.crop_unet_masks(frames_dev, gray_u8=gray,
                                             valid=valid, boxes=b)
             d, i = frame_metrics_batch(cm, gt_j)
             agg["yolo-crop+unet"] = {"dice": np.asarray(d), "iou": np.asarray(i),
