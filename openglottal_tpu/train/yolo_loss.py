@@ -125,8 +125,6 @@ def yolo_loss(level_outputs, gt_boxes, gt_valid, size_h: int = 256,
 
     gather = lambda arr: jnp.take_along_axis(
         arr, best_gt[:, None, :], 1)[:, 0]             # (B, M, A) -> (B, A)
-    t_align = gather(align)
-    t_iou = gather(jnp.clip(iou, 0))
 
     # soft cls target: per-gt normalise so peak == best IoU (v8 semantics)
     max_align = jnp.max(jnp.where(topk_mask, align, 0), axis=2, keepdims=True)
