@@ -11,6 +11,10 @@ jitted (augment → forward → loss → grad → update) call in bfloat16 compu
 f32 params, and with a mesh the batch axis shards over ``data`` (grad psum
 inserted by XLA).  Checkpointing via orbax (params + opt_state + step —
 strictly more than the reference's weights-only files).
+
+One intentional divergence: the final PARTIAL batch of each epoch is dropped
+(static shapes; torch DataLoader defaults to drop_last=False) — at the
+reference's dataset sizes this is <1 batch out of dozens per epoch.
 """
 
 from __future__ import annotations
