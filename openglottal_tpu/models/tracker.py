@@ -155,6 +155,127 @@ def ygvft_step(carry, frame, valid, box, p: YGVFTParams):
     return (ff, lmap, thresh), mask
 
 
+# ── Parallel (frame-axis batched) tracker formulation ────────────────────────
+#
+# Both trackers' recurrences are LINEAR, so the sequential scans decompose
+# into batched ops + parallel prefix scans (the TPU "sequence parallel" story
+# for the stateful video axis, SURVEY.md §5):
+#
+#   lmap_t   = α·d_t + (1-α)·lmap_{t-1}            (linear; d_t batched)
+#   thresh_t = a_t·thresh_{t-1} + b_t   where (a_t, b_t) = (β, (1-β)·cur_t)
+#              when the ROI has >10 px else (1, 0) — the reference's
+#              "fallback to previous threshold" (tracker.py:109) makes the
+#              empty step the IDENTITY, preserving linearity; cur_t depends
+#              only on frame_t and roi_t, never on thresh.
+#
+# Everything else (absdiff+blur, ROI blobs, percentiles, output blob filter)
+# is per-frame independent and vmaps.  Identical results to the sequential
+# scans up to float reassociation (pinned by tests).
+
+
+def _linear_prefix(a, b, x0):
+    """x_t = a_t·x_{t-1} + b_t for t=0..T-1 given x_{-1}=x0, via parallel
+    prefix.  a: (T, ...) broadcastable to b: (T, ...)."""
+    def combine(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, ar * bl + br
+
+    ca, cb = jax.lax.associative_scan(combine, (a, b))
+    return ca * x0 + cb
+
+
+def _prev_chain(init_last, frames):
+    """prev_t for each step: frames[t-1], seeded with the last init frame."""
+    return jnp.concatenate([init_last[None], frames[:-1]], axis=0)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def ygvft_parallel(init_frames, first_valid, first_box, frames, valids, boxes,
+                   active=None, params: YGVFTParams = YGVFTParams()):
+    """Frame-parallel YOLO-guided VFT — same outputs as :func:`ygvft_scan`
+    (float-reassociation tolerance), but every stage batched over T.
+
+    ``active`` may only disable a contiguous TAIL (padding); interior gaps
+    would change the prev-frame chain.
+    """
+    p = params
+    t, h, w = frames.shape
+    if active is None:
+        active = jnp.ones((t,), jnp.bool_)
+    prev0, lmap0, thresh0 = ygvft_initialize(init_frames, first_valid,
+                                             first_box, p)
+
+    ff = frames.astype(jnp.float32)
+    d = gaussian_blur(jnp.abs(ff - _prev_chain(prev0, ff)), p.gaussian_ksize)
+    # inactive steps keep the carry: a=1, b=0
+    a_l = jnp.where(active[:, None, None], 1.0 - p.alpha, 1.0)
+    b_l = jnp.where(active[:, None, None], p.alpha * d, 0.0)
+    lmaps = _linear_prefix(a_l, b_l, lmap0[None])
+
+    rows = jnp.arange(h)[None, :, None]
+    cols = jnp.arange(w)[None, None, :]
+    roi = ((rows >= boxes[:, 1, None, None]) & (rows < boxes[:, 3, None, None])
+           & (cols >= boxes[:, 0, None, None]) & (cols < boxes[:, 2, None, None])
+           & valids[:, None, None])
+
+    def pct(frame, m):
+        hist = masked_histogram_u8(frame, m)
+        return percentile_from_hist(hist, p.glottal_percentile)
+
+    cur, n_px = jax.vmap(pct)(ff, roi)
+    use = active & (n_px > 10)
+    a_t = jnp.where(use, p.beta, 1.0)
+    b_t = jnp.where(use, (1.0 - p.beta) * cur, 0.0)
+    thresh = _linear_prefix(a_t, b_t, jnp.asarray(thresh0))
+
+    raw = (ff < thresh[:, None, None]) & roi & active[:, None, None]
+    masks = jax.vmap(lambda m: top_n_blobs(m, p.max_glottal_components))(raw)
+    return masks, masks.sum((1, 2)).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def vft_parallel(init_frames, frames, active=None,
+                 params: VFTParams = VFTParams()):
+    """Frame-parallel VFT — same outputs as :func:`vft_scan` up to float
+    reassociation.  ``active`` may only disable a PREFIX (the init frames the
+    caller overlays) and/or a contiguous tail (padding): the lmap/threshold
+    recurrences treat inactive steps as identity, matching the scan."""
+    p = params
+    t, h, w = frames.shape
+    if active is None:
+        active = jnp.ones((t,), jnp.bool_)
+    prev0, lmap0, thresh0 = vft_initialize(init_frames, p)
+
+    ff = frames.astype(jnp.float32)
+    # prev chain: inactive prefix steps must not disturb it — the scan's
+    # carry keeps prev = init frame until the first active step, then
+    # follows frames; a prefix of inactive steps therefore maps to the same
+    # chain as long as callers pass the same frames the scan would see.
+    d = gaussian_blur(jnp.abs(ff - _prev_chain(prev0, ff)), p.gaussian_ksize)
+    a_l = jnp.where(active[:, None, None], 1.0 - p.alpha, 1.0)
+    b_l = jnp.where(active[:, None, None], p.alpha * d, 0.0)
+    lmaps = _linear_prefix(a_l, b_l, lmap0[None])
+
+    peaks = lmaps.max((1, 2))
+    rthr = jnp.where(peaks > 0, peaks * p.roi_threshold_ratio, 1.0)
+    roi = jax.vmap(largest_blob)(lmaps > rthr[:, None, None])
+
+    def pct(frame, m):
+        hist = masked_histogram_u8(frame, m)
+        return percentile_from_hist(hist, p.glottal_percentile)
+
+    cur, n_px = jax.vmap(pct)(ff, roi)
+    use = active & (n_px > 10)
+    a_t = jnp.where(use, p.beta, 1.0)
+    b_t = jnp.where(use, (1.0 - p.beta) * cur, 0.0)
+    thresh = _linear_prefix(a_t, b_t, jnp.asarray(thresh0))
+
+    raw = (ff < thresh[:, None, None]) & roi & active[:, None, None]
+    masks = jax.vmap(lambda m: top_n_blobs(m, p.max_glottal_components))(raw)
+    return masks, masks.sum((1, 2)).astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("params",))
 def ygvft_scan(init_frames, first_valid, first_box, frames, valids, boxes,
                active=None, params: YGVFTParams = YGVFTParams()):

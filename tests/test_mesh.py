@@ -41,6 +41,33 @@ def test_dp_training_step(mesh):
     assert np.isfinite(hist[-1]["loss/val"])
 
 
+def test_frame_sharded_parallel_tracker(mesh):
+    """The parallel tracker formulation (linear recurrences as
+    associative_scan) shards over the frame axis — the sequential scan
+    cannot.  Sharded result must equal unsharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from openglottal_tpu.data.synthetic import synthetic_video
+    from openglottal_tpu.data.video import bgr_to_gray_u8
+    from openglottal_tpu.models.tracker import ygvft_parallel
+
+    T = 34  # 2 init + 32 tracked (divisible by 8)
+    g = bgr_to_gray_u8(synthetic_video(t=T, size=256, seed=6)[0]).astype(jnp.float32)
+    fv = jnp.asarray(True)
+    fb = jnp.asarray([100, 100, 160, 160], jnp.int32)
+    valids = jnp.ones((T - 2,), bool)
+    boxes = jnp.tile(fb, (T - 2, 1))
+
+    _, base = ygvft_parallel(g[:2], fv, fb, g[2:], valids, boxes)
+
+    spec = NamedSharding(mesh, P("data"))
+    gs = jax.device_put(g[2:], spec)
+    vs = jax.device_put(valids, spec)
+    bs = jax.device_put(boxes, spec)
+    _, sharded = ygvft_parallel(g[:2], fv, fb, gs, vs, bs)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(base), atol=0.5)
+
+
 def test_frame_sharded_pipeline_matches_single(mesh):
     from openglottal_tpu.data.synthetic import synthetic_video
     from openglottal_tpu.data.video import bgr_to_gray_u8

@@ -134,6 +134,35 @@ class _YGVFTOracle:
         return _nblobs_cv(raw, p.max_glottal_components)
 
 
+def test_parallel_formulation_matches_scan():
+    """The frame-parallel tracker (linear recurrences via associative_scan,
+    everything else vmapped) must reproduce the sequential scan exactly —
+    the empty-ROI threshold fallback is the identity step, so linearity
+    holds (models/tracker.py docstring)."""
+    from openglottal_tpu.models.tracker import (
+        ygvft_parallel, vft_parallel,
+    )
+
+    p = YGVFTParams()
+    frames_bgr, gt = synthetic_video(t=24, size=96, center=(48.0, 48.0), seed=8)
+    gray = jnp.asarray(np.asarray(bgr_to_gray_u8(frames_bgr)).astype(np.float32))
+    boxes = synthetic_gt_boxes(gt, dilate=6)
+    valids = jnp.asarray(boxes[:, 0] >= 0)
+    boxes_i = jnp.asarray(np.where(boxes[:, :1] >= 0, boxes, 0).astype(np.int32))
+
+    _, seq = ygvft_scan(gray[:2], jnp.asarray(True), boxes_i[0],
+                        gray[2:], valids[2:], boxes_i[2:], params=p)
+    _, par = ygvft_parallel(gray[:2], jnp.asarray(True), boxes_i[0],
+                            gray[2:], valids[2:], boxes_i[2:], params=p)
+    np.testing.assert_allclose(np.asarray(par), np.asarray(seq), atol=0.5)
+
+    pv = VFTParams()
+    active = jnp.arange(gray.shape[0]) >= 2
+    _, seq_v = vft_scan(gray[:2], gray, active, params=pv)
+    _, par_v = vft_parallel(gray[:2], gray, active, params=pv)
+    np.testing.assert_allclose(np.asarray(par_v), np.asarray(seq_v), atol=0.5)
+
+
 def test_ygvft_matches_oracle():
     p = YGVFTParams()
     frames_bgr, gt = synthetic_video(t=40, size=96, center=(48.0, 48.0), seed=4)
