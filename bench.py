@@ -74,12 +74,28 @@ def main() -> None:
     dt = sorted(times)[len(times) // 2]
     fps = t_frames * n_videos / dt
 
+    # diagnostics: compute-only throughput (device-resident input — what a
+    # production host with direct PCIe would see) and the tunnel bandwidth
+    # this run happened to get (observed range here: 0.07-2 GB/s)
+    grays_dev = [jax.device_put(v) for v in videos]
+    jax.block_until_ready(grays_dev)
+    jax.block_until_ready([pipe.yolo_unet_areas_gray(g) for g in grays_dev])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready([pipe.yolo_unet_areas_gray(g) for g in grays_dev])
+    fps_compute = t_frames * n_videos / ((time.perf_counter() - t0) / 3)
+    t0 = time.perf_counter()
+    jax.block_until_ready([jax.device_put(v) for v in videos])
+    mbps = sum(v.nbytes for v in videos) / (time.perf_counter() - t0) / 1e6
+
     baseline_fps = 35.0  # reference full pipeline, M-series MPS
     print(json.dumps({
         "metric": "yolo_unet_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2),
+        "compute_only_fps": round(fps_compute, 1),
+        "h2d_bandwidth_MBps": round(mbps, 1),
     }))
 
 
