@@ -58,12 +58,36 @@ def main(argv: list[str] | None = None) -> None:
     bd_p.add_argument("--force", action="store_true")
     bd_p.add_argument("--mask-suffix", default="")
 
+    # train/eval/analysis subcommands delegate to the scripts/ drivers
+    script_cmds = {
+        "train-unet": "train_unet", "train-unet-crop": "train_unet_crop",
+        "train-yolo": "train_yolo", "eval-girafe": "eval_girafe",
+        "eval-bagls": "eval_bagls", "sweep-bagls": "sweep_bagls_conf",
+        "analyze-gaw": "analyze_gaw", "plot-gaw": "plot_gaw",
+        "infer": "infer", "benchmark": "benchmark_video_speed",
+        "download-datasets": "download_datasets",
+    }
+    for name, module in script_cmds.items():
+        sub.add_parser(name, add_help=False,
+                       help=f"Delegates to scripts/{module}.py (its own --help).")
+
     args, extra = parser.parse_known_args(argv)
 
     if args.command == "run":
         _cmd_run(run_p, args)
     elif args.command == "build-dataset":
         _cmd_build_dataset(args)
+    elif args.command in script_cmds:
+        _delegate(script_cmds[args.command], extra)
+
+
+def _delegate(module: str, argv: list[str]) -> None:
+    import runpy
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parents[1] / "scripts" / f"{module}.py"
+    sys.argv = [str(script)] + list(argv)
+    runpy.run_path(str(script), run_name="__main__")
 
 
 def _cmd_run(parser: argparse.ArgumentParser, args) -> None:

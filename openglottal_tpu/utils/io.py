@@ -25,6 +25,11 @@ def resolve_weights_path(path) -> Path:
 def load_unet_weights(path):
     """Load U-Net variables from an orbax ckpt dir or a torch .pt file."""
     p = resolve_weights_path(path)
+    if not p.exists():
+        raise FileNotFoundError(
+            f"U-Net weights not found: {path} (also tried weights/{p.name}). "
+            "Expected an orbax checkpoint directory (outputs/unet/best) or a "
+            "torch .pt state_dict.")
     if p.is_dir():
         import orbax.checkpoint as ocp
 
@@ -41,6 +46,10 @@ def load_yolo_weights(path):
     available here; reference weights are stripped from the mirror anyway,
     .MISSING_LARGE_BLOBS)."""
     p = resolve_weights_path(path)
+    if not Path(p).exists():
+        raise FileNotFoundError(
+            f"YOLO weights not found: {path} (also tried weights/{Path(p).name}). "
+            "Expected an orbax checkpoint directory (outputs/yolo/best).")
     import orbax.checkpoint as ocp
 
     tree = ocp.StandardCheckpointer().restore(Path(p).resolve())
