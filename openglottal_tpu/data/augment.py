@@ -24,7 +24,12 @@ SIZE = 256
 
 
 def _sample_params(key, b):
-    ks = jax.random.split(key, 12)
+    # one INDEPENDENT key per random decision — the apply-at-p=0.5 flags and
+    # the factor draws must not share keys, or the factor distribution is
+    # conditioned on the flag (a reused key made brightness/contrast factors
+    # land only in (1.0, 1.3]: round-1 bug, fixed + pinned by
+    # tests/test_augment.py::test_photometric_factor_distributions)
+    ks = jax.random.split(key, 15)
     p = {
         "hflip": jax.random.uniform(ks[0], (b,)) > 0.5,
         "vflip": jax.random.uniform(ks[1], (b,)) > 0.5,
@@ -37,12 +42,12 @@ def _sample_params(key, b):
         "k5": jax.random.uniform(ks[8], (b,)) > 0.5,
         "sigma_b": jax.random.uniform(ks[9], (b,), minval=0.5, maxval=1.5),
         "bright": jnp.where(jax.random.uniform(ks[10], (b,)) > 0.5,
-                            jax.random.uniform(ks[10], (b,), minval=0.7, maxval=1.3),
+                            jax.random.uniform(ks[11], (b,), minval=0.7, maxval=1.3),
                             1.0),
-        "contrast": jnp.where(jax.random.uniform(ks[11], (b,)) > 0.5,
-                              jax.random.uniform(ks[11], (b,), minval=0.7, maxval=1.3),
+        "contrast": jnp.where(jax.random.uniform(ks[12], (b,)) > 0.5,
+                              jax.random.uniform(ks[13], (b,), minval=0.7, maxval=1.3),
                               1.0),
-        "noise_key": ks[6],
+        "noise_key": ks[14],
     }
     return p
 

@@ -91,10 +91,7 @@ def evaluate_patient(pipe: GlottalPipelines, frames_bgr, gt_masks,
     (eval_girafe.py:205-213) — its arrays are shorter by YGVFT_INIT.
     """
     from openglottal_tpu.data.video import bgr_to_gray_u8
-    from openglottal_tpu.models.tracker import ygvft_scan
-    from openglottal_tpu.pipelines import YGVFT_INIT, _pad_to, _bucket
-
-    from openglottal_tpu.pipelines import to_device
+    from openglottal_tpu.pipelines import YGVFT_INIT, to_device
 
     frames_bgr = to_device(np.asarray(frames_bgr))
     gt = to_device(np.asarray(gt_masks))
@@ -126,23 +123,15 @@ def evaluate_patient(pipe: GlottalPipelines, frames_bgr, gt_masks,
         out["yolo-crop+unet"] = {"dice": np.asarray(d), "iou": np.asarray(i),
                                  "det": det}
 
-    # motion pipeline: sequential YGVFT pass, init frames excluded
+    # motion pipeline: one YGVFT pass (frame-parallel on the fast path),
+    # init frames excluded from metrics AND from the det-recall frame set so
+    # aggregate() counts recall over exactly the frames it scores
     t = frames_bgr.shape[0]
     if sequential and t > YGVFT_INIT:
-        g32 = gray.astype(jnp.float32)
-        valid_np = np.asarray(valid[:YGVFT_INIT])
-        fi = int(np.argmax(valid_np)) if valid_np.any() else 0
-        n = t - YGVFT_INIT
-        n_pad = _bucket(n, 64)
-        masks, _ = ygvft_scan(
-            g32[:YGVFT_INIT], jnp.asarray(bool(valid_np.any())), boxes[fi],
-            _pad_to(g32[YGVFT_INIT:], n_pad), _pad_to(valid[YGVFT_INIT:], n_pad),
-            _pad_to(boxes[YGVFT_INIT:], n_pad),
-            jnp.arange(n_pad) < n, params=pipe.ygvft_params,
-        )
-        d, i = frame_metrics_batch(masks[:n], gt[YGVFT_INIT:])
+        masks = pipe.ygvft_eval_masks(gray, valid, boxes)
+        d, i = frame_metrics_batch(masks, gt[YGVFT_INIT:])
         out["yolo+motion"] = {"dice": np.asarray(d), "iou": np.asarray(i),
-                              "det": det}
+                              "det": det[YGVFT_INIT:]}
     return out
 
 

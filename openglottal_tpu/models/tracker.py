@@ -161,12 +161,14 @@ def ygvft_step(carry, frame, valid, box, p: YGVFTParams):
 # into batched ops + parallel prefix scans (the TPU "sequence parallel" story
 # for the stateful video axis, SURVEY.md §5):
 #
-#   lmap_t   = α·d_t + (1-α)·lmap_{t-1}            (linear; d_t batched)
-#   thresh_t = a_t·thresh_{t-1} + b_t   where (a_t, b_t) = (β, (1-β)·cur_t)
-#              when the ROI has >10 px else (1, 0) — the reference's
-#              "fallback to previous threshold" (tracker.py:109) makes the
-#              empty step the IDENTITY, preserving linearity; cur_t depends
-#              only on frame_t and roi_t, never on thresh.
+#   lmap_t   = α·d_t + (1-α)·lmap_{t-1}            (linear; d_t batched,
+#              prefix via associative_scan — the heavy (T,H,W) recurrence)
+#   thresh_t = β·thresh_{t-1} + (1-β)·cur_t        (cur_t depends only on
+#              frame_t and roi_t, never on thresh; fallback when the ROI has
+#              ≤10 px re-feeds thresh_{t-1} as cur_t, tracker.py:109).  The
+#              thresh chain is T SCALARS — it runs as a sequential lax.scan
+#              (_thresh_chain) to stay bit-identical with the sequential
+#              formulation; see _thresh_chain's docstring.
 #
 # Everything else (absdiff+blur, ROI blobs, percentiles, output blob filter)
 # is per-frame independent and vmaps.  Identical results to the sequential
@@ -183,6 +185,25 @@ def _linear_prefix(a, b, x0):
 
     ca, cb = jax.lax.associative_scan(combine, (a, b))
     return ca * x0 + cb
+
+
+def _thresh_chain(thresh0, cur, n_px, active, beta):
+    """Sequential scalar threshold EMA, bit-identical to the sequential
+    scans' update (incl. the fallback step computing β·t + (1-β)·t, which is
+    not exactly t in f32).  The associative-scan form reassociates the chain
+    by ~1 ulp — enough to flip (integer_pixel < thresh) for a whole pixel
+    population when the threshold rides an integer boundary, so the scalar
+    chain (T scalar FMAs, negligible next to the batched image work) runs
+    sequentially."""
+    def step(th, xs):
+        cur_, npx_, act_ = xs
+        c = jnp.where(npx_ > 10, cur_, th)
+        th2 = beta * th + (1.0 - beta) * c
+        th = jnp.where(act_, th2, th)
+        return th, th
+
+    _, out = jax.lax.scan(step, thresh0, (cur, n_px, active))
+    return out
 
 
 def _prev_chain(init_last, frames):
@@ -224,10 +245,7 @@ def ygvft_parallel(init_frames, first_valid, first_box, frames, valids, boxes,
         return percentile_from_hist(hist, p.glottal_percentile)
 
     cur, n_px = jax.vmap(pct)(ff, roi)
-    use = active & (n_px > 10)
-    a_t = jnp.where(use, p.beta, 1.0)
-    b_t = jnp.where(use, (1.0 - p.beta) * cur, 0.0)
-    thresh = _linear_prefix(a_t, b_t, jnp.asarray(thresh0))
+    thresh = _thresh_chain(jnp.asarray(thresh0), cur, n_px, active, p.beta)
 
     raw = (ff < thresh[:, None, None]) & roi & active[:, None, None]
     masks = jax.vmap(lambda m: top_n_blobs(m, p.max_glottal_components))(raw)
@@ -266,10 +284,7 @@ def vft_parallel(init_frames, frames, active=None,
         return percentile_from_hist(hist, p.glottal_percentile)
 
     cur, n_px = jax.vmap(pct)(ff, roi)
-    use = active & (n_px > 10)
-    a_t = jnp.where(use, p.beta, 1.0)
-    b_t = jnp.where(use, (1.0 - p.beta) * cur, 0.0)
-    thresh = _linear_prefix(a_t, b_t, jnp.asarray(thresh0))
+    thresh = _thresh_chain(jnp.asarray(thresh0), cur, n_px, active, p.beta)
 
     raw = (ff < thresh[:, None, None]) & roi & active[:, None, None]
     masks = jax.vmap(lambda m: top_n_blobs(m, p.max_glottal_components))(raw)

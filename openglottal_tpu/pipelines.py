@@ -28,7 +28,9 @@ from openglottal_tpu.models.gate import GateParams, gate_scan
 from openglottal_tpu.models.tracker import (
     VFTParams,
     YGVFTParams,
+    vft_parallel,
     vft_scan,
+    ygvft_parallel,
     ygvft_scan,
 )
 from openglottal_tpu.models.unet import UNet
@@ -256,7 +258,8 @@ class GlottalPipelines:
                  gate_params: GateParams = GateParams(),
                  vft_params: VFTParams = VFTParams(),
                  ygvft_params: YGVFTParams = YGVFTParams(),
-                 dtype=jnp.bfloat16, mesh=None):
+                 dtype=jnp.bfloat16, mesh=None,
+                 parallel_trackers: bool = True):
         self.unet_variables = unet_variables
         self.crop_unet_variables = crop_unet_variables
         self.yolo_variables = yolo_variables
@@ -266,6 +269,11 @@ class GlottalPipelines:
         self.ygvft_params = ygvft_params
         self.dtype = dtype
         self.mesh = mesh
+        # frame-parallel tracker formulation (associative scans; bit-matched
+        # to the sequential recurrences up to float reassociation, pinned by
+        # tests/test_tracker.py) — the production default; the sequential
+        # scans remain as the off-fast-path fallback.
+        self.parallel_trackers = parallel_trackers
         if mesh is not None:
             # frame-axis ("sequence") sharding: each CHUNK splits over the
             # mesh's data axis; gate/feature scans consume gathered summaries
@@ -448,28 +456,24 @@ class GlottalPipelines:
 
     # ── pipeline 1: VFT ───────────────────────────────────────────────────
 
-    def vft_areas(self, frames_bgr_u8):
-        """YOLO -> size-locked crops -> VFT scan (features.py:74-141).
+    def _vft_compute(self, gray, valid, boxes, t, want_masks: bool = False):
+        """Shared VFT core: gather size-locked crops for the valid-box frames
+        and run ONE tracker pass — frame-parallel (associative-scan) on the
+        fast path, sequential ``vft_scan`` fallback.
 
-        The tracker consumes only the *valid-box* frames in order (the
-        reference skips box-less frames without touching tracker state),
-        so we gather valid crops and run one scan over them.
-        """
-        t = len(frames_bgr_u8)
-        if t < VFT_INIT + 5:  # features.py:100-101
-            return None
-        frames_dev, gray = self._prepare(frames_bgr_u8)
-        valid, boxes = self._gated(frames_dev, gray)
+        Returns (areas (t,) np.float32, crop_masks (n_valid, h0, w0)|None,
+        idx valid-frame indices, (h0, w0))."""
         valid_np = np.asarray(valid)
         boxes_np = np.asarray(boxes)
         idx = np.nonzero(valid_np)[0]
+        areas = np.zeros(t, np.float32)
         if len(idx) < VFT_INIT + 1:
-            return np.zeros(t, np.float32)
+            return areas, None, idx, (0, 0)
         # crop size locked at first valid crop (features.py:124-127)
         b0 = boxes_np[idx[0]]
         w0, h0 = int(b0[2] - b0[0]), int(b0[3] - b0[1])
         if w0 <= 0 or h0 <= 0:
-            return np.zeros(t, np.float32)
+            return areas, None, idx, (0, 0)
         n = len(idx)
         n_pad = _bucket(n, 64)
         sel = jnp.asarray(np.pad(idx, (0, n_pad - n), constant_values=idx[-1]))
@@ -479,14 +483,54 @@ class GlottalPipelines:
         active = jnp.asarray(np.arange(n_pad) >= VFT_INIT) & jnp.asarray(
             np.arange(n_pad) < n
         )
-        _, areas_v = vft_scan(crops[:VFT_INIT], crops, active,
-                              params=self.vft_params)
-        areas = np.zeros(t, np.float32)
+        fn = vft_parallel if self.parallel_trackers else vft_scan
+        cmasks, areas_v = fn(crops[:VFT_INIT], crops, active,
+                             params=self.vft_params)
         areas[idx] = np.asarray(areas_v)[:n]
         areas[idx[:VFT_INIT]] = 0.0  # init frames contribute 0 (features.py:134)
+        return areas, (np.asarray(cmasks)[:n] if want_masks else None), idx, (h0, w0)
+
+    def vft_areas(self, frames_bgr_u8):
+        """YOLO -> size-locked crops -> one VFT pass (features.py:74-141).
+
+        The tracker consumes only the *valid-box* frames in order (the
+        reference skips box-less frames without touching tracker state),
+        so we gather valid crops and run one pass over them.
+        """
+        t = len(frames_bgr_u8)
+        if t < VFT_INIT + 5:  # features.py:100-101
+            return None
+        frames_dev, gray = self._prepare(frames_bgr_u8)
+        valid, boxes = self._gated(frames_dev, gray)
+        areas, _, _, _ = self._vft_compute(gray, valid, boxes, t)
         return areas
 
     # ── pipeline 2: guided VFT ────────────────────────────────────────────
+
+    def _ygvft_compute(self, gray, valid, boxes, t, want_masks: bool = False):
+        """Shared guided-VFT core: ONE tracker pass (frame-parallel on the
+        fast path) -> (areas (t,) np.float32, masks (t, h, w) bool | None).
+        The first YGVFT_INIT frames seed the tracker and emit zero/empty
+        outputs (features.py:169-181)."""
+        h, w = gray.shape[1:3]
+        g32 = gray.astype(jnp.float32)
+        vnp = np.asarray(valid[:YGVFT_INIT])
+        fi = int(np.argmax(vnp)) if vnp.any() else 0
+        n = t - YGVFT_INIT
+        n_pad = _bucket(n, 64)
+        fn = ygvft_parallel if self.parallel_trackers else ygvft_scan
+        masks_v, areas_v = fn(
+            g32[:YGVFT_INIT], jnp.asarray(bool(vnp.any())), boxes[fi],
+            _pad_to(g32[YGVFT_INIT:], n_pad), _pad_to(valid[YGVFT_INIT:], n_pad),
+            _pad_to(boxes[YGVFT_INIT:], n_pad), jnp.arange(n_pad) < n,
+            params=self.ygvft_params)
+        areas = np.zeros(t, np.float32)
+        areas[YGVFT_INIT:] = np.asarray(areas_v)[:n]
+        masks = None
+        if want_masks:
+            masks = jnp.concatenate(
+                [jnp.zeros((YGVFT_INIT, h, w), bool), masks_v[:n]])
+        return areas, masks
 
     def guided_vft_areas(self, frames_bgr_u8):
         """YOLO bbox as ROI on the full frame (features.py:147-196)."""
@@ -495,22 +539,16 @@ class GlottalPipelines:
             return None
         frames_dev, gray = self._prepare(frames_bgr_u8)
         valid, boxes = self._gated(frames_dev, gray)
-        gray = gray.astype(jnp.float32)
-        valid_np = np.asarray(valid[:YGVFT_INIT])
-        fi = int(np.argmax(valid_np)) if valid_np.any() else 0
-        first_valid = jnp.asarray(bool(valid_np.any()))
-        first_box = boxes[fi]
-        n = t - YGVFT_INIT
-        n_pad = _bucket(n, 64)
-        frames = _pad_to(gray[YGVFT_INIT:], n_pad)
-        v = _pad_to(valid[YGVFT_INIT:], n_pad)
-        b = _pad_to(boxes[YGVFT_INIT:], n_pad)
-        active = jnp.arange(n_pad) < n
-        _, areas_v = ygvft_scan(gray[:YGVFT_INIT], first_valid, first_box,
-                                frames, v, b, active, params=self.ygvft_params)
-        areas = np.zeros(t, np.float32)
-        areas[YGVFT_INIT:] = np.asarray(areas_v)[:n]
+        areas, _ = self._ygvft_compute(gray, valid, boxes, t)
         return areas
+
+    def ygvft_eval_masks(self, gray, valid, boxes):
+        """Masks for the eval ``yolo+motion`` row: (t - YGVFT_INIT, h, w) for
+        the non-init frames (eval_girafe.py:176-220 excludes the init frames
+        from metrics)."""
+        t = gray.shape[0]
+        _, masks = self._ygvft_compute(gray, valid, boxes, t, want_masks=True)
+        return masks[YGVFT_INIT:]
 
     # ── full outputs for annotation/inference drivers ─────────────────────
 
@@ -538,60 +576,33 @@ class GlottalPipelines:
             return masks, valid, boxes, areas
 
         if pipeline == "crop-unet":
-            masks, valid, boxes = self.crop_unet_masks(frames, gray_u8=gray,
-                                                       valid=valid, boxes=boxes)
+            # frames_dev may be None (monochrome source) — crop_unet_masks
+            # only needs it to gate, and valid/boxes are already gated here
+            masks, valid, boxes = self.crop_unet_masks(
+                frames_dev, gray_u8=gray, valid=valid, boxes=boxes)
             return masks, valid, boxes, masks.sum((1, 2)).astype(jnp.float32)
 
         if pipeline == "guided-vft":
-            areas_np = self.guided_vft_areas(frames_bgr_u8)
-            n = t - YGVFT_INIT
-            n_pad = _bucket(n, 64)
-            from openglottal_tpu.models.tracker import ygvft_scan
-
-            g32 = gray.astype(jnp.float32)
-            vnp = np.asarray(valid[:YGVFT_INIT])
-            fi = int(np.argmax(vnp)) if vnp.any() else 0
-            m, _ = ygvft_scan(
-                g32[:YGVFT_INIT], jnp.asarray(bool(vnp.any())), boxes[fi],
-                _pad_to(g32[YGVFT_INIT:], n_pad), _pad_to(valid[YGVFT_INIT:], n_pad),
-                _pad_to(boxes[YGVFT_INIT:], n_pad), jnp.arange(n_pad) < n,
-                params=self.ygvft_params)
-            masks = jnp.concatenate(
-                [jnp.zeros((YGVFT_INIT, h, w), bool), m[:n]])
+            areas_np, masks = self._ygvft_compute(gray, valid, boxes, t,
+                                                  want_masks=True)
             return masks, valid, boxes, jnp.asarray(areas_np)
 
         if pipeline == "vft":
             # project locked-size crop masks back into the frame at the
             # current box (truncating overlap, infer.py:177-181)
-            areas_np = self.vft_areas(frames_bgr_u8)
-            if areas_np is None:
-                areas_np = np.zeros(t, np.float32)
-            valid_np, boxes_np = np.asarray(valid), np.asarray(boxes)
-            idx = np.nonzero(valid_np)[0]
+            areas_np, cmasks, idx, (h0, w0) = self._vft_compute(
+                gray, valid, boxes, t, want_masks=True)
+            boxes_np = np.asarray(boxes)
             masks = np.zeros((t, h, w), bool)
-            if len(idx) >= VFT_INIT + 1:
-                b0 = boxes_np[idx[0]]
-                w0, h0 = int(b0[2] - b0[0]), int(b0[3] - b0[1])
-                if w0 > 0 and h0 > 0:
-                    n = len(idx)
-                    n_pad = _bucket(n, 64)
-                    sel = jnp.asarray(np.pad(idx, (0, n_pad - n),
-                                             constant_values=idx[-1]))
-                    crops = _gather_crops(gray[sel], jnp.asarray(
-                        np.pad(boxes_np[idx], ((0, n_pad - n), (0, 0)),
-                               constant_values=1)), h0, w0)
-                    active = (jnp.arange(n_pad) >= VFT_INIT) & (jnp.arange(n_pad) < n)
-                    cmasks, _ = vft_scan(crops[:VFT_INIT], crops, active,
-                                         params=self.vft_params)
-                    cmasks = np.asarray(cmasks)[:n]
-                    for k, fi in enumerate(idx):
-                        if k < VFT_INIT:
-                            continue
-                        x1, y1, x2, y2 = boxes_np[fi]
-                        mh = min(h0, y2 - y1)
-                        mw = min(w0, x2 - x1)
-                        if mh > 0 and mw > 0:
-                            masks[fi, y1:y1 + mh, x1:x1 + mw] = cmasks[k][:mh, :mw]
+            if cmasks is not None:
+                for k, fi in enumerate(idx):
+                    if k < VFT_INIT:
+                        continue
+                    x1, y1, x2, y2 = boxes_np[fi]
+                    mh = min(h0, y2 - y1)
+                    mw = min(w0, x2 - x1)
+                    if mh > 0 and mw > 0:
+                        masks[fi, y1:y1 + mh, x1:x1 + mw] = cmasks[k][:mh, :mw]
             return jnp.asarray(masks), valid, boxes, jnp.asarray(areas_np)
 
         raise ValueError(f"unknown pipeline {pipeline!r}")

@@ -83,6 +83,30 @@ def unet_eval_loss(model: UNet, params, batch_stats, imgs, msks):
     return _loss_fn(logits, y)
 
 
+@partial(jax.jit, static_argnames=("model",))
+def unet_eval_loss_masked(model: UNet, params, batch_stats, imgs, msks, valid):
+    """Eval loss over a batch whose trailing entries may be padding.
+
+    ``valid`` (B,) bool.  With all-True valid this equals ``unet_eval_loss``
+    exactly; padded entries contribute to neither the BCE mean nor the
+    global-batch soft-dice sums — so val sets smaller than (or not divisible
+    by) the batch size pad up to static shapes instead of being dropped
+    (round-1 bug: mesh mode with len(val) < batch produced val_loss = nan)."""
+    x = (imgs.astype(jnp.float32) / 255.0)[..., None]
+    y = msks.astype(jnp.float32)[..., None]
+    logits = model.apply({"params": params, "batch_stats": batch_stats},
+                         x, train=False)
+    v = valid.astype(jnp.float32)[:, None, None, None]
+    n_px = v.sum() * (y.shape[1] * y.shape[2])
+    bce = (optax.sigmoid_binary_cross_entropy(logits, y) * v).sum() \
+        / jnp.maximum(n_px, 1.0)
+    p = jax.nn.sigmoid(logits.astype(jnp.float32)) * v
+    t = y * v
+    eps = 1e-6
+    dl = 1.0 - (2.0 * (p * t).sum() + eps) / (p.sum() + t.sum() + eps)
+    return 0.5 * bce + 0.5 * dl
+
+
 def cosine_lr(epoch: int, epochs: int, lr0: float) -> float:
     """torch CosineAnnealingLR(T_max=epochs) stepped per epoch, eta_min=0."""
     return lr0 * (1 + math.cos(math.pi * epoch / epochs)) / 2
@@ -183,19 +207,29 @@ class UNetTrainer:
             train_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
 
             vlosses = []
-            for i in range(0, len(val_imgs) - (bs - 1), bs):
+            for i in range(0, len(val_imgs), bs):
                 vi, vm = val_imgs[i:i + bs], val_msks[i:i + bs]
+                n_real = len(vi)
+                if n_real < bs:  # pad the tail batch to static shape
+                    pad = bs - n_real
+                    zi = np.zeros if self._bspec is not None else jnp.zeros
+                    vi = (np if self._bspec is not None else jnp).concatenate(
+                        [vi, zi((pad,) + tuple(vi.shape[1:]), vi.dtype)])
+                    vm = (np if self._bspec is not None else jnp).concatenate(
+                        [vm, zi((pad,) + tuple(vm.shape[1:]), vm.dtype)])
+                valid = jnp.arange(bs) < n_real
                 if self._bspec is not None:
                     vi = jax.device_put(vi, self._bspec)
                     vm = jax.device_put(vm, self._bspec)
-                vlosses.append(unet_eval_loss(
-                    self.model, state.params, state.batch_stats, vi, vm))
-            if not vlosses and len(val_imgs):
-                vi, vm = val_imgs, val_msks
-                if self._bspec is None:
-                    vlosses.append(unet_eval_loss(
-                        self.model, state.params, state.batch_stats, vi, vm))
-            val_loss = float(jnp.stack(vlosses).mean()) if vlosses else float("nan")
+                    valid = jax.device_put(np.arange(bs) < n_real, self._bspec)
+                vlosses.append((unet_eval_loss_masked(
+                    self.model, state.params, state.batch_stats, vi, vm, valid),
+                    n_real))
+            if vlosses:
+                tot = sum(n for _, n in vlosses)
+                val_loss = float(sum(float(l) * n for l, n in vlosses) / tot)
+            else:
+                val_loss = float("nan")
 
             rec = {"epoch": epoch + 1, "loss/train": train_loss,
                    "loss/val": val_loss, "lr": lr,

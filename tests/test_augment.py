@@ -42,6 +42,36 @@ def test_geometry_applied_jointly():
         assert ai[i][sel].mean() > ai[i][~sel].mean() + 0.2, i
 
 
+def test_photometric_factor_distributions():
+    """Brightness/contrast: applied at p≈0.5 with factors ~U[0.7, 1.3] —
+    BOTH sides of 1.0 (round-1 bug: a reused RNG key conditioned the factor
+    on the apply flag, so factors only ever landed in (1.0, 1.3])."""
+    from openglottal_tpu.data.augment import _sample_params
+
+    n = 4096
+    p = _sample_params(jax.random.PRNGKey(7), n)
+    for name in ("bright", "contrast"):
+        f = np.asarray(p[name])
+        applied = f[f != 1.0]
+        rate = len(applied) / n
+        assert 0.45 < rate < 0.55, (name, rate)
+        assert applied.min() >= 0.7 and applied.max() <= 1.3, name
+        # uniform on [0.7, 1.3]: mean ~1.0, both halves populated ~equally
+        assert abs(applied.mean() - 1.0) < 0.02, (name, applied.mean())
+        frac_dark = (applied < 1.0).mean()
+        assert 0.45 < frac_dark < 0.55, (name, frac_dark)
+        # ~uniform density: each of 6 bins holds 1/6 ± 1/3 of its share
+        hist, _ = np.histogram(applied, bins=6, range=(0.7, 1.3))
+        assert (hist > len(applied) / 6 * 0.66).all(), (name, hist)
+    # flags/factors of different knobs are pairwise independent draws
+    assert abs(np.corrcoef(np.asarray(p["bright"]),
+                           np.asarray(p["contrast"]))[0, 1]) < 0.1
+    # the noise field key differs from the sigma draw (round-1 reuse)
+    sig = np.asarray(p["sigma_n"])
+    noise0 = np.asarray(jax.random.normal(p["noise_key"], (n,)))
+    assert abs(np.corrcoef(sig, noise0)[0, 1]) < 0.1
+
+
 def test_flip_rates_and_mask_area_preserved():
     imgs, msks = _batch(128)
     area0 = float(msks.sum())

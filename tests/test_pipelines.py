@@ -49,7 +49,7 @@ def test_fused_path_matches_modular(pipe, video):
 
 
 def test_extract_features_all_pipelines(pipe, video):
-    for p in ["unet-only", "unet", "crop-unet", "guided-vft"]:
+    for p in ["unet-only", "unet", "crop-unet", "guided-vft", "vft"]:
         feats = pipe.extract_features(video, p)
         assert feats is None or "area_mean" in feats, p
 
@@ -67,10 +67,41 @@ def test_no_detection_silent(pipe, video):
     assert hi.extract_features(video, "unet") is None
 
 
-def test_run_pipeline_full_shapes(pipe, video):
-    masks, valid, boxes, areas = pipe.run_pipeline_full(video, "unet")
+@pytest.mark.parametrize(
+    "pipeline", ["unet-only", "unet", "crop-unet", "guided-vft", "vft"])
+def test_run_pipeline_full_all_branches(pipe, video, pipeline):
+    """Every branch of run_pipeline_full must execute (round-1 shipped a
+    NameError in the crop-unet branch because only 'unet' was tested)."""
+    masks, valid, boxes, areas = pipe.run_pipeline_full(video, pipeline)
     t = len(video)
-    assert masks.shape == (t, 256, 256)
-    assert valid.shape == (t,)
-    assert boxes.shape == (t, 4)
-    assert areas.shape == (t,)
+    assert masks.shape == (t, 256, 256), pipeline
+    assert areas.shape == (t,), pipeline
+    if pipeline == "unet-only":
+        assert valid is None and boxes is None
+    else:
+        assert valid.shape == (t,) and boxes.shape == (t, 4)
+    # areas must be consistent with the masks the caller will overlay
+    m_areas = np.asarray(masks).sum((1, 2)).astype(np.float32)
+    if pipeline in ("unet-only", "crop-unet", "guided-vft"):
+        np.testing.assert_allclose(np.asarray(areas), m_areas, atol=0.5)
+
+
+def test_run_pipeline_full_unknown_raises(pipe, video):
+    with pytest.raises(ValueError):
+        pipe.run_pipeline_full(video, "nope")
+
+
+def test_tracker_routing_parallel_matches_scan(pipe, video):
+    """Production paths route through the frame-parallel trackers; the
+    sequential-scan fallback must agree (float-reassociation tolerance)."""
+    seq = GlottalPipelines(
+        unet_variables=pipe.unet_variables,
+        crop_unet_variables=pipe.crop_unet_variables,
+        yolo_variables=pipe.yolo_variables, conf=0.0, dtype=jnp.float32,
+        parallel_trackers=False)
+    assert pipe.parallel_trackers and not seq.parallel_trackers
+    for p in ["vft", "guided-vft"]:
+        a_par = pipe.run_pipeline_full(video, p)[3]
+        a_seq = seq.run_pipeline_full(video, p)[3]
+        np.testing.assert_allclose(np.asarray(a_par), np.asarray(a_seq),
+                                   atol=2.0, err_msg=p)

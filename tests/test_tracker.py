@@ -163,6 +163,66 @@ def test_parallel_formulation_matches_scan():
     np.testing.assert_allclose(np.asarray(par_v), np.asarray(seq_v), atol=0.5)
 
 
+def test_vft_matches_reference_code():
+    """State trajectory vs the ACTUAL reference VocalFoldTracker loaded from
+    /root/reference (cv2+numpy only — importable without ultralytics).  The
+    transcription oracles above document the semantics; this pins parity to
+    the reference's own code."""
+    from ref_loader import load_reference_module
+    from openglottal_tpu.models.tracker import vft_initialize, vft_step
+
+    ref = load_reference_module("models.tracker")
+    p = VFTParams()
+    gray = _gray_video()
+    trk = ref.VocalFoldTracker()
+    trk.initialize([gray[0], gray[1]])
+
+    frames = jnp.asarray(gray.astype(np.float32))
+    carry = vft_initialize(frames[:2], p)
+    np.testing.assert_allclose(float(carry[2]), trk.thresh, atol=1e-3)
+    got_areas, want_areas = [], []
+    for t in range(2, len(gray)):
+        want_areas.append(float((trk.process_frame(gray[t]) > 0).sum()))
+        carry, mask = vft_step(carry, frames[t], p)
+        got_areas.append(float(mask.sum()))
+        np.testing.assert_allclose(float(carry[2]), trk.thresh, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(carry[1]), trk.lmap, atol=1e-3)
+    np.testing.assert_allclose(got_areas, want_areas, atol=10.0)
+
+
+def test_ygvft_matches_reference_code():
+    """Same for YOLOGuidedVFT, with the production percentile=30
+    (features.py:23-29 overrides the class default of 5)."""
+    from ref_loader import load_reference_module
+
+    ref = load_reference_module("models.tracker")
+    p = YGVFTParams()
+    frames_bgr, gt = synthetic_video(t=40, size=96, center=(48.0, 48.0), seed=4)
+    gray = np.asarray(bgr_to_gray_u8(frames_bgr))
+    boxes = synthetic_gt_boxes(gt, dilate=6)
+    valids = boxes[:, 0] >= 0
+    boxes_i = np.where(valids[:, None], boxes, 0).astype(np.int32)
+
+    trk = ref.YOLOGuidedVFT(glottal_percentile=int(p.glottal_percentile))
+    fb = tuple(boxes[0]) if valids[0] else (tuple(boxes[1]) if valids[1] else None)
+    trk.initialize([gray[0], gray[1]], fb)
+    want = [float((trk.process_frame(g, tuple(b) if v else None) > 0).sum())
+            for g, v, b in zip(gray[2:], valids[2:], boxes[2:])]
+
+    f32 = jnp.asarray(gray.astype(np.float32))
+    fi = int(np.argmax(valids[:2])) if valids[:2].any() else 0
+    _, areas = ygvft_scan(
+        f32[:2], jnp.asarray(bool(valids[:2].any())), jnp.asarray(boxes_i[fi]),
+        f32[2:], jnp.asarray(valids[2:]), jnp.asarray(boxes_i[2:]), params=p,
+    )
+    got = np.asarray(areas)
+    want = np.asarray(want)
+    big = want > 50
+    assert big.any(), "synthetic video produced no substantial masks"
+    np.testing.assert_allclose(got[big], want[big], rtol=0.05, atol=5.0)
+    np.testing.assert_allclose(got, want, atol=15.0)
+
+
 def test_ygvft_matches_oracle():
     p = YGVFTParams()
     frames_bgr, gt = synthetic_video(t=40, size=96, center=(48.0, 48.0), seed=4)
