@@ -29,7 +29,8 @@ from openglottal_tpu.models.gate import TemporalGate  # noqa: F401
 # bare imports light
 def __getattr__(name):
     compat_names = {
-        "TemporalDetector", "extract_features_detector",
+        "TemporalDetector", "VocalFoldTracker", "YOLOGuidedVFT",
+        "extract_features_detector",
         "extract_features_yolo_guided_vft", "extract_features_unet",
     }
     if name in compat_names:
@@ -45,6 +46,7 @@ def __getattr__(name):
 
 __all__ = [
     "UNet", "TemporalGate", "GlottalPipelines", "TemporalDetector",
+    "VocalFoldTracker", "YOLOGuidedVFT",
     "extract_features_detector", "extract_features_yolo_guided_vft",
     "extract_features_unet", "__version__",
 ]

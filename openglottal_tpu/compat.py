@@ -9,9 +9,10 @@ runs the batched TPU pipelines.
 
 ``TemporalDetector`` here is a host-side convenience object bundling YOLO
 weights + gate parameters (the reference couples model and gate in one class,
-detector.py:9-102); the pipelines consume its fields.  A per-frame
-``detect()`` is provided for drop-in compatibility but batched use is the
-intended path.
+detector.py:9-102); the pipelines consume its fields.  Per-frame ``detect()``
+/ ``process_frame()`` APIs are provided for drop-in compatibility but the
+batched pipelines are the intended path — per-frame dispatch through the TPU
+tunnel is orders of magnitude slower than one fused whole-video call.
 """
 
 from __future__ import annotations
@@ -20,9 +21,129 @@ import numpy as np
 
 from openglottal_tpu.features import kinematic_features  # noqa: F401
 from openglottal_tpu.models.gate import GateParams
-from openglottal_tpu.models.tracker import VFTParams as VocalFoldTracker  # noqa: F401
-from openglottal_tpu.models.tracker import YGVFTParams as YOLOGuidedVFT  # noqa: F401
+from openglottal_tpu.models.tracker import (
+    VFTParams,
+    YGVFTParams,
+    vft_initialize,
+    vft_step,
+    ygvft_initialize,
+    ygvft_step,
+)
 from openglottal_tpu.models.unet import UNet  # noqa: F401
+
+
+def _resize_to(frame: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Resize only if the size differs (reference utils.py:57-61)."""
+    if frame.shape[1] == w and frame.shape[0] == h:
+        return frame
+    import cv2
+
+    return cv2.resize(frame, (w, h), interpolation=cv2.INTER_LINEAR)
+
+
+class VocalFoldTracker:
+    """Drop-in stateful wrapper over the jitted VFT step functions.
+
+    Reference API (tracker.py:11-114): ``initialize(frames)`` seeds the
+    motion map and intensity threshold from grayscale frames (all normalised
+    to the FIRST frame's size, tracker.py:81-83); ``process_frame(frame)``
+    returns a binary uint8 mask (255 = glottis).  Batched videos should use
+    ``GlottalPipelines.vft_areas`` / ``models.tracker.vft_parallel`` instead —
+    this class exists for reference users porting per-frame loops.
+    """
+
+    def __init__(self, alpha: float = 0.98, beta: float = 0.7,
+                 roi_threshold_ratio: float = 0.07, gaussian_ksize: int = 13,
+                 glottal_percentile: int = 5, max_glottal_components: int = 2):
+        self.params = VFTParams(
+            float(alpha), float(beta), float(roi_threshold_ratio),
+            int(gaussian_ksize), float(glottal_percentile),
+            int(max_glottal_components))
+        self._carry = None
+        self._w = self._h = None
+
+    def initialize(self, frames) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        self._h, self._w = np.asarray(frames[0]).shape[:2]
+        ff = np.stack([
+            _resize_to(np.asarray(f), self._w, self._h).astype(np.float32)
+            for f in frames])
+        self._carry = jax.jit(vft_initialize, static_argnums=1)(
+            jnp.asarray(ff), self.params)
+
+    def process_frame(self, frame: np.ndarray) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        f = _resize_to(np.asarray(frame), self._w, self._h).astype(np.float32)
+        self._carry, mask = jax.jit(vft_step, static_argnums=2)(
+            self._carry, jnp.asarray(f), self.params)
+        return np.asarray(mask).astype(np.uint8) * 255
+
+    # state views matching the reference attribute names
+    @property
+    def prev(self):
+        return None if self._carry is None else np.asarray(self._carry[0])
+
+    @property
+    def lmap(self):
+        return None if self._carry is None else np.asarray(self._carry[1])
+
+    @property
+    def thresh(self):
+        return None if self._carry is None else float(self._carry[2])
+
+
+class YOLOGuidedVFT:
+    """Drop-in stateful wrapper over the jitted YOLO-guided VFT steps
+    (reference tracker.py:117-232): the YOLO bbox replaces the motion-map
+    ROI; ``bbox=None`` produces an empty mask for that frame."""
+
+    def __init__(self, alpha: float = 0.98, beta: float = 0.7,
+                 glottal_percentile: int = 5, gaussian_ksize: int = 13,
+                 max_glottal_components: int = 2):
+        self.params = YGVFTParams(
+            float(alpha), float(beta), float(glottal_percentile),
+            int(gaussian_ksize), int(max_glottal_components))
+        self._carry = None
+
+    def initialize(self, frames, bbox=None) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        ff = jnp.asarray(np.stack([np.asarray(f).astype(np.float32)
+                                   for f in frames]))
+        valid = jnp.asarray(bbox is not None)
+        box = jnp.asarray([0, 0, 0, 0] if bbox is None
+                          else [int(v) for v in bbox], jnp.int32)
+        self._carry = jax.jit(ygvft_initialize, static_argnums=3)(
+            ff, valid, box, self.params)
+
+    def process_frame(self, frame: np.ndarray, bbox=None) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        f = jnp.asarray(np.asarray(frame).astype(np.float32))
+        valid = jnp.asarray(bbox is not None)
+        box = jnp.asarray([0, 0, 0, 0] if bbox is None
+                          else [int(v) for v in bbox], jnp.int32)
+        self._carry, mask = jax.jit(ygvft_step, static_argnums=4)(
+            self._carry, f, valid, box, self.params)
+        return np.asarray(mask).astype(np.uint8) * 255
+
+    @property
+    def prev(self):
+        return None if self._carry is None else np.asarray(self._carry[0])
+
+    @property
+    def lmap(self):
+        return None if self._carry is None else np.asarray(self._carry[1])
+
+    @property
+    def thresh(self):
+        return None if self._carry is None else float(self._carry[2])
 
 
 class TemporalDetector:
@@ -66,6 +187,22 @@ class TemporalDetector:
         if not bool(valid):
             return None
         return tuple(int(v) for v in np.asarray(obox))
+
+    @property
+    def crop_size(self):
+        """(w, h) of the current crop, or None before/after a detection is
+        held (reference detector.py:47-50)."""
+        if not bool(self._state.valid):
+            return None
+        return (int(self._state.w), int(self._state.h))
+
+    def crop(self, frame: np.ndarray, box):
+        """Slice the detected box out of the frame; the whole frame when
+        box is None (reference detector.py:98-102)."""
+        if box is None:
+            return frame
+        x1, y1, x2, y2 = box
+        return frame[y1:y2, x1:x2]
 
     def _pipelines(self, unet_variables=None, crop_unet_variables=None):
         from openglottal_tpu.pipelines import GlottalPipelines

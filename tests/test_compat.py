@@ -1,0 +1,101 @@
+"""Drop-in compat surface: every name the reference package root exports
+(openglottal/__init__.py:5-20) must be call-compatible; the stateful tracker
+classes are compared trajectory-for-trajectory against the ACTUAL reference
+classes loaded from /root/reference."""
+
+import jax
+import numpy as np
+import pytest
+
+from ref_loader import load_reference_module
+from openglottal_tpu.data.synthetic import synthetic_video, synthetic_gt_boxes
+from openglottal_tpu.data.video import bgr_to_gray_u8
+
+
+def _gray(t=24, size=96, seed=11):
+    frames_bgr, gt = synthetic_video(t=t, size=size, center=(48.0, 48.0),
+                                     seed=seed)
+    return np.asarray(bgr_to_gray_u8(frames_bgr)), gt
+
+
+def test_package_root_exports_reference_names():
+    import openglottal_tpu as og
+
+    for name in ["TemporalDetector", "VocalFoldTracker", "YOLOGuidedVFT",
+                 "UNet", "extract_features_detector",
+                 "extract_features_yolo_guided_vft", "extract_features_unet"]:
+        assert callable(getattr(og, name)), name
+
+
+def test_vocal_fold_tracker_class_matches_reference():
+    from openglottal_tpu import VocalFoldTracker
+
+    ref = load_reference_module("models.tracker")
+    gray, _ = _gray()
+    ours = VocalFoldTracker()
+    theirs = ref.VocalFoldTracker()
+    ours.initialize([gray[0], gray[1]])
+    theirs.initialize([gray[0], gray[1]])
+    np.testing.assert_allclose(ours.thresh, theirs.thresh, atol=1e-3)
+    for t in range(2, len(gray)):
+        m_ours = ours.process_frame(gray[t])
+        m_ref = theirs.process_frame(gray[t])
+        assert m_ours.dtype == np.uint8 and set(np.unique(m_ours)) <= {0, 255}
+        np.testing.assert_allclose(ours.thresh, theirs.thresh, atol=1e-2)
+        np.testing.assert_allclose(ours.lmap, theirs.lmap, atol=1e-3)
+        assert abs(float((m_ours > 0).sum()) - float((m_ref > 0).sum())) <= 10
+
+
+def test_yolo_guided_vft_class_matches_reference():
+    from openglottal_tpu import YOLOGuidedVFT
+
+    ref = load_reference_module("models.tracker")
+    gray, gt = _gray(seed=12)
+    boxes = synthetic_gt_boxes(gt, dilate=6)
+    valids = boxes[:, 0] >= 0
+    fb = tuple(boxes[0]) if valids[0] else None
+
+    ours = YOLOGuidedVFT(glottal_percentile=30)
+    theirs = ref.YOLOGuidedVFT(glottal_percentile=30)
+    ours.initialize([gray[0], gray[1]], fb)
+    theirs.initialize([gray[0], gray[1]], fb)
+    np.testing.assert_allclose(ours.thresh, theirs.thresh, atol=1e-3)
+    for t in range(2, len(gray)):
+        bb = tuple(boxes[t]) if valids[t] else None
+        m_ours = ours.process_frame(gray[t], bb)
+        m_ref = theirs.process_frame(gray[t], bb)
+        np.testing.assert_allclose(ours.thresh, theirs.thresh, atol=1e-2)
+        assert abs(float((m_ours > 0).sum()) - float((m_ref > 0).sum())) <= 10
+        if bb is None:
+            assert not m_ours.any()
+
+
+def test_temporal_detector_crop_and_crop_size(tmp_path):
+    """crop()/crop_size parity with reference detector.py:47-50, 98-102,
+    via a real orbax checkpoint round-trip."""
+    import orbax.checkpoint as ocp
+    from openglottal_tpu.models.yolo import init_yolo
+    from openglottal_tpu import TemporalDetector
+
+    _, yv = init_yolo(jax.random.PRNGKey(0))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save((tmp_path / "yolo").resolve(),
+               {"params": yv["params"], "batch_stats": yv["batch_stats"]},
+               force=True)
+    ckptr.wait_until_finished()
+
+    det = TemporalDetector(tmp_path / "yolo", conf=0.0)
+    assert det.crop_size is None  # before first detection
+    frame = np.zeros((64, 64, 3), np.uint8)
+    box = det.detect(frame)
+    if box is not None:
+        w, h = det.crop_size
+        assert (box[2] - box[0], box[3] - box[1]) == (w, h)
+        # crop() is a raw numpy slice (reference detector.py:98-102) — for a
+        # box larger than the frame that means python slice clipping
+        c = det.crop(frame, box)
+        x1, y1, x2, y2 = box
+        np.testing.assert_array_equal(c, frame[y1:y2, x1:x2])
+    assert det.crop(frame, None) is frame
+    det.reset()
+    assert det.crop_size is None
