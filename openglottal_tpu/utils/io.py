@@ -41,19 +41,24 @@ def load_unet_weights(path):
 
 
 def load_yolo_weights(path):
-    """Load YOLO variables from an orbax ckpt dir (torch .pt import of
-    ultralytics checkpoints requires ultralytics to deserialize — not
-    available here; reference weights are stripped from the mirror anyway,
-    .MISSING_LARGE_BLOBS)."""
+    """Load YOLO variables from an orbax ckpt dir or an ultralytics-style
+    torch ``.pt`` (parsed without the ultralytics package — the checkpoint's
+    DetectionModel pickle is unpickled with stub classes and its tensors
+    remapped; utils/yolo_import.py)."""
     p = resolve_weights_path(path)
     if not Path(p).exists():
         raise FileNotFoundError(
             f"YOLO weights not found: {path} (also tried weights/{Path(p).name}). "
-            "Expected an orbax checkpoint directory (outputs/yolo/best).")
-    import orbax.checkpoint as ocp
+            "Expected an orbax checkpoint directory (outputs/yolo/best) or an "
+            "ultralytics YOLOv8n .pt checkpoint.")
+    if Path(p).is_dir():
+        import orbax.checkpoint as ocp
 
-    tree = ocp.StandardCheckpointer().restore(Path(p).resolve())
-    return {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+        tree = ocp.StandardCheckpointer().restore(Path(p).resolve())
+        return {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    from openglottal_tpu.utils.yolo_import import yolo_from_torch
+
+    return yolo_from_torch(p)
 
 
 def save_features_json(feats: dict, out_path) -> None:
