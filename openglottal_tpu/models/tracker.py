@@ -25,7 +25,12 @@ import jax
 import jax.numpy as jnp
 
 from openglottal_tpu.ops.blur import gaussian_blur
-from openglottal_tpu.ops.blobs import largest_blob, top_n_blobs
+from openglottal_tpu.ops.blobs import (
+    largest_blob,
+    largest_blob_batch,
+    top_n_blobs,
+    top_n_blobs_batch,
+)
 from openglottal_tpu.ops.histogram import masked_histogram_u8, percentile_from_hist
 
 
@@ -248,7 +253,7 @@ def ygvft_parallel(init_frames, first_valid, first_box, frames, valids, boxes,
     thresh = _thresh_chain(jnp.asarray(thresh0), cur, n_px, active, p.beta)
 
     raw = (ff < thresh[:, None, None]) & roi & active[:, None, None]
-    masks = jax.vmap(lambda m: top_n_blobs(m, p.max_glottal_components))(raw)
+    masks = top_n_blobs_batch(raw, p.max_glottal_components)
     return masks, masks.sum((1, 2)).astype(jnp.float32)
 
 
@@ -277,7 +282,7 @@ def vft_parallel(init_frames, frames, active=None,
 
     peaks = lmaps.max((1, 2))
     rthr = jnp.where(peaks > 0, peaks * p.roi_threshold_ratio, 1.0)
-    roi = jax.vmap(largest_blob)(lmaps > rthr[:, None, None])
+    roi = largest_blob_batch(lmaps > rthr[:, None, None])
 
     def pct(frame, m):
         hist = masked_histogram_u8(frame, m)
@@ -287,7 +292,7 @@ def vft_parallel(init_frames, frames, active=None,
     thresh = _thresh_chain(jnp.asarray(thresh0), cur, n_px, active, p.beta)
 
     raw = (ff < thresh[:, None, None]) & roi & active[:, None, None]
-    masks = jax.vmap(lambda m: top_n_blobs(m, p.max_glottal_components))(raw)
+    masks = top_n_blobs_batch(raw, p.max_glottal_components)
     return masks, masks.sum((1, 2)).astype(jnp.float32)
 
 

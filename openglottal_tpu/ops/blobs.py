@@ -139,6 +139,23 @@ def fill_holes(mask, iters: int = 4096):
     return mask | (bg & ~is_outside)
 
 
+def _propagate_batch(masks, iters: int, connectivity: int):
+    """Per-frame CC labels for a (T, H, W) stack.  On TPU with tileable
+    shapes this is ONE Pallas call (frames grouped into shared VMEM blocks —
+    fatter VPU ops, convergence = max over the group instead of the sum a
+    serial vmap pays); elsewhere it vmaps the XLA propagation."""
+    t, h, w = masks.shape
+    if h % 8 == 0 and w % 128 == 0 and jax.default_backend() == "tpu":
+        from openglottal_tpu.ops.blobs_pallas import (
+            connected_components_pallas_batch,
+        )
+
+        return connected_components_pallas_batch(masks.astype(jnp.bool_),
+                                                 connectivity,
+                                                 max(iters, 64) * 8)
+    return jax.vmap(lambda m: _propagate(m, iters, connectivity))(masks)
+
+
 def _component_tree(mask, iters: int):
     """Nesting analysis of foreground 8-components and background 4-components.
 
@@ -159,10 +176,17 @@ def _component_tree(mask, iters: int):
              single component, possibly containing nested comps; background
              "pockets" jointly enclosed by several comps stay False).
     """
-    h, w = mask.shape
-    hw = h * w
     labF = _propagate(mask, iters, connectivity=8)
     labB = _propagate(~mask, iters, connectivity=4)
+    return _component_tree_from_labels(mask, labF, labB)
+
+
+def _component_tree_from_labels(mask, labF, labB):
+    """Pure (gather/scatter) part of :func:`_component_tree`, given the two
+    label maps — vmappable, so batch callers can compute labels with the
+    batched Pallas kernel first."""
+    h, w = mask.shape
+    hw = h * w
     flatF = labF.reshape(-1)
     flatB = labB.reshape(-1)
 
@@ -223,9 +247,16 @@ def top_n_blobs(mask, n: int, iters: int = 4096):
     Returns a boolean mask.
     """
     mask, (oh, ow) = _pad_tileable(mask.astype(jnp.bool_))
+    labF = _propagate(mask, iters, connectivity=8)
+    labB = _propagate(~mask, iters, connectivity=4)
+    return _select_top_n(mask, labF, labB, n)[:oh, :ow]
+
+
+def _select_top_n(mask, labF, labB, n: int):
+    """Rank + paint given the label maps (pure gathers — vmappable)."""
     h, w = mask.shape
     hw = h * w
-    labF, labB, rootF, hole = _component_tree(mask, iters)
+    _, _, rootF, hole = _component_tree_from_labels(mask, labF, labB)
     flatF = labF.reshape(-1)
     flatB = labB.reshape(-1)
 
@@ -247,7 +278,35 @@ def top_n_blobs(mask, n: int, iters: int = 4096):
     lutF = jnp.concatenate([flatF, jnp.int32(hw)[None]])
     owner = rootF[lutF[up]]                       # bg comp id -> top-level owner
     out_bg = hole[flatB] & keep[owner[flatB]] & ~mask.reshape(-1)
-    return (out_fg | out_bg).reshape(h, w)[:oh, :ow]
+    return (out_fg | out_bg).reshape(h, w)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def top_n_blobs_batch(masks, n: int, iters: int = 4096):
+    """:func:`top_n_blobs` over a (T, H, W) stack of independent masks.
+
+    Identical per-frame semantics; the two CC propagations run through the
+    BATCHED Pallas kernel (one launch for all frames) instead of a per-frame
+    vmap — the production path for the frame-parallel trackers
+    (models/tracker.py), where per-frame kernels are instruction-overhead
+    bound and pay the sum of convergence sweeps instead of the max."""
+    t = masks.shape[0]
+    masks = masks.astype(jnp.bool_)
+    ph = (-masks.shape[1]) % 8
+    pw = (-masks.shape[2]) % 128
+    oh, ow = masks.shape[1], masks.shape[2]
+    if ph or pw:
+        masks = jnp.pad(masks, ((0, 0), (0, ph), (0, pw)))
+    labF = _propagate_batch(masks, iters, connectivity=8)
+    labB = _propagate_batch(~masks, iters, connectivity=4)
+    out = jax.vmap(lambda m, lF, lB: _select_top_n(m, lF, lB, n))(
+        masks, labF, labB)
+    return out[:, :oh, :ow]
+
+
+def largest_blob_batch(masks, iters: int = 4096):
+    """Largest component per frame of a (T, H, W) stack."""
+    return top_n_blobs_batch(masks, 1, iters)
 
 
 def largest_blob(mask, iters: int = 4096):

@@ -14,9 +14,25 @@ if jax.default_backend() == "cpu":
 import jax.numpy as jnp  # noqa: E402
 
 
-from openglottal_tpu.ops.blobs_pallas import connected_components_pallas  # noqa: E402
+from openglottal_tpu.ops.blobs_pallas import (  # noqa: E402
+    connected_components_pallas,
+    connected_components_pallas_batch,
+)
 
 RNG = np.random.default_rng(13)
+
+
+def _assert_matches_cv2(m, conn):
+    got = np.asarray(connected_components_pallas(jnp.asarray(m), conn))
+    n_cv, cvlab = cv2.connectedComponents(m.astype(np.uint8),
+                                          connectivity=conn)
+    flat_idx = np.arange(m.size).reshape(m.shape)
+    for c in range(1, n_cv):
+        comp = cvlab == c
+        ours = np.unique(got[comp])
+        assert len(ours) == 1
+        assert ours[0] == flat_idx[comp].min()
+    assert (got[~m] == m.size).all()
 
 
 @pytest.mark.parametrize("conn", [4, 8])
@@ -27,12 +43,49 @@ def test_pallas_matches_cv2(conn):
     for thresh in (0.5, 0.62, 0.75):
         m = cv2.GaussianBlur(RNG.random((256, 256)).astype(np.float32),
                              (21, 21), 5) > thresh
-        got = np.asarray(connected_components_pallas(jnp.asarray(m), conn))
-        n_cv, cvlab = cv2.connectedComponents(m.astype(np.uint8),
-                                              connectivity=conn)
-        flat_idx = np.arange(m.size).reshape(m.shape)
-        for c in range(1, n_cv):
-            comp = cvlab == c
-            ours = np.unique(got[comp])
-            assert len(ours) == 1
-            assert ours[0] == flat_idx[comp].min()
+        _assert_matches_cv2(m, conn)
+
+
+@pytest.mark.parametrize("conn", [4, 8])
+def test_pallas_percolation_noise(conn):
+    """Percolation-regime noise — the motion trackers' absdiff-threshold
+    masks look like this; the segmented-scan sweeps must stay fast AND exact
+    (thousands of tiny comps at p=0.4, giant spanning comps at p=0.7)."""
+    for p in (0.4, 0.55, 0.7):
+        _assert_matches_cv2(RNG.random((256, 256)) < p, conn)
+
+
+@pytest.mark.parametrize("conn", [4, 8])
+def test_pallas_worst_case_paths(conn):
+    """Geodesically worst-case shapes: spiral arms and 1-px serpentine
+    channels (maximal direction changes per unit area)."""
+    m = np.zeros((256, 256), bool)
+    x0, y0, x1, y1 = 0, 0, 255, 255
+    while x0 < x1:
+        m[y0, x0:x1 + 1] = True
+        m[y0:y1 + 1, x1] = True
+        m[y1, x0:x1 + 1] = True
+        m[y0 + 2:y1 + 1, x0] = True
+        x0 += 4; y0 += 4; x1 -= 4; y1 -= 4
+    _assert_matches_cv2(m, conn)
+
+    m = np.ones((256, 256), bool)
+    for r in range(1, 256, 2):
+        m[r, :] = False
+        m[r, 0 if (r // 2) % 2 else 255] = True
+    _assert_matches_cv2(m, conn)
+
+
+@pytest.mark.parametrize("conn", [4, 8])
+@pytest.mark.parametrize("hw", [(136, 256), (256, 256)])
+def test_pallas_batch_matches_single(conn, hw):
+    """The grouped-frames kernel must label each frame exactly like the
+    single-mask kernel (frame walls airtight, incl. percolation noise that
+    would merge across frames if a roll leaked)."""
+    h, w = hw
+    masks = np.stack([RNG.random((h, w)) < p
+                      for p in (0.3, 0.45, 0.55, 0.65, 0.0, 1.0, 0.5, 0.5)])
+    got = np.asarray(connected_components_pallas_batch(jnp.asarray(masks), conn))
+    for i in range(masks.shape[0]):
+        want = np.asarray(connected_components_pallas(jnp.asarray(masks[i]), conn))
+        np.testing.assert_array_equal(got[i], want, err_msg=f"frame {i}")
