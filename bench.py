@@ -51,9 +51,14 @@ def main() -> None:
     pipe = GlottalPipelines(unet_variables=uvars, yolo_variables=yvars,
                             dtype=jnp.bfloat16)
 
+    from openglottal_tpu.data.prefetch import prefetch_to_device
+
     def run_batch():
-        # jax dispatch is async: H2D of video i+1 overlaps compute of video i
-        outs = [pipe.yolo_unet_areas_gray(v) for v in videos]
+        # explicit double buffering: a background thread device_puts video
+        # i+1/i+2 while the chip computes video i (jax.device_put blocks its
+        # calling thread, so async dispatch alone does NOT overlap transfers)
+        outs = [pipe.yolo_unet_areas_gray(g)
+                for g in prefetch_to_device(videos, size=2)]
         return jax.block_until_ready(outs)
 
     run_batch()  # warmup / compile
@@ -73,6 +78,7 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
     fps = t_frames * n_videos / dt
+    fps_floor = t_frames * n_videos / max(times)  # worst-of-5: contention floor
 
     # diagnostics: compute-only throughput (device-resident input — what a
     # production host with direct PCIe would see) and the tunnel bandwidth
@@ -94,6 +100,7 @@ def main() -> None:
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2),
+        "floor_fps": round(fps_floor, 1),
         "compute_only_fps": round(fps_compute, 1),
         "h2d_bandwidth_MBps": round(mbps, 1),
     }))

@@ -1,0 +1,63 @@
+"""Host->device double buffering for video batch drivers.
+
+The TPU tunnel's host->HBM bandwidth fluctuates 10-20x with shared-pool
+contention (see bench.py), and ``jax.device_put`` of a big host array BLOCKS
+the producing Python thread while the transfer is in flight even though the
+consuming computation is dispatched asynchronously.  Relying on dispatch
+order alone therefore leaves the chip idle whenever a transfer lands in a
+slow window: the end-to-end fps *floor* — not the median — is set by
+transfer/compute overlap.
+
+:func:`prefetch_to_device` makes the overlap explicit: a daemon thread runs
+``jax.device_put`` for up to ``size`` items ahead of the consumer, so video
+i+1 (and i+2) stream through the tunnel while the chip computes on video i.
+Equivalent to the double-buffered DMA pattern inside a Pallas kernel, lifted
+to the host->HBM edge of the pipeline (the reference has no analog: it copies
+per frame, synchronously, utils.py:218-241).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator
+
+import jax
+import numpy as np
+
+
+def prefetch_to_device(items: Iterable, size: int = 2,
+                       put: Callable | None = None) -> Iterator:
+    """Yield ``put(item)`` for each item, transferring ``size`` ahead.
+
+    ``put`` defaults to ``jax.device_put`` on a contiguous array; pass a
+    custom function for sharded placement (e.g. a NamedSharding device_put)
+    or structured items.  Exceptions in the producer re-raise at the
+    consuming ``next()``.
+    """
+    if put is None:
+        def put(x):
+            return jax.device_put(np.ascontiguousarray(x))
+
+    q: queue.Queue = queue.Queue(maxsize=max(1, size))
+    _END = object()
+
+    def producer():
+        try:
+            for it in items:
+                q.put(put(it))
+        except BaseException as e:  # surface in consumer
+            q.put(e)
+            return
+        q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    while True:
+        got = q.get()
+        if got is _END:
+            return
+        if isinstance(got, BaseException):
+            raise got
+        yield got

@@ -336,6 +336,21 @@ class GlottalPipelines:
         f = to_device(frames_bgr_u8)
         return f, bgr_to_gray_u8(f)
 
+    def prepare(self, frames_bgr_u8):
+        """Single host->device transfer for one video.  Returns
+        (frames_dev | None, gray_dev); frames_dev is None for monochrome
+        sources (only the single channel crosses the tunnel)."""
+        return self._prepare(frames_bgr_u8)
+
+    def prepare_prefetched(self, videos, size: int = 2):
+        """Double-buffered preparation of a video stream: yields
+        ``prepare(video)`` for each item while a background thread transfers
+        up to ``size`` videos ahead, overlapping the tunnel-bandwidth-bound
+        host->HBM copies with on-chip compute (data/prefetch.py)."""
+        from openglottal_tpu.data.prefetch import prefetch_to_device
+
+        return prefetch_to_device(videos, size=size, put=self._prepare)
+
     def _gated(self, frames_dev, gray_dev, sequential: bool = True):
         h, w = (frames_dev if frames_dev is not None else gray_dev).shape[1:3]
         if (h, w) != (256, 256):

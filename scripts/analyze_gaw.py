@@ -53,35 +53,68 @@ def main() -> None:
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     records = []
-    for pdir in sorted(Path(args.raw_data_dir).iterdir()):
-        if not pdir.is_dir():
-            continue
-        meta_file = pdir / "metadata.json"
-        status = "Unknown"
-        if meta_file.exists():
-            status = json.load(open(meta_file)).get("disorder status", "Unknown")
-        avis = sorted(pdir.glob("*.avi"))
-        if not avis:
-            continue
-        try:  # per-patient fault tolerance: one bad video must not kill the study
-            frames = load_frames_bgr(avis[0])
+
+    def patient_stream():
+        """Decode patients lazily; per-patient fault tolerance lives HERE so
+        one bad video can't kill the study (reference analyze_gaw semantics).
+        Yields (name, status, frames) for readable videos only."""
+        for pdir in sorted(Path(args.raw_data_dir).iterdir()):
+            if not pdir.is_dir():
+                continue
+            meta_file = pdir / "metadata.json"
+            status = "Unknown"
+            if meta_file.exists():
+                status = json.load(open(meta_file)).get("disorder status",
+                                                        "Unknown")
+            avis = sorted(pdir.glob("*.avi"))
+            if not avis:
+                continue
+            try:
+                frames = load_frames_bgr(avis[0])
+            except Exception as e:  # noqa: BLE001
+                print(f"  WARNING: {pdir.name}: failed "
+                      f"({type(e).__name__}: {e})")
+                continue
             if len(frames) == 0:
                 print(f"  WARNING: {pdir.name}: unreadable video, skipping")
                 continue
-            areas = np.asarray(pipe.yolo_unet_areas(frames))
+            yield pdir.name, status, frames
+
+    def _put(job):
+        """Background-thread transfer; exceptions become per-patient values
+        so the prefetch stream keeps flowing."""
+        name, status, frames = job
+        try:
+            return name, status, pipe.prepare(frames)
+        except Exception as e:  # noqa: BLE001
+            return name, status, e
+
+    from openglottal_tpu.data.prefetch import prefetch_to_device
+
+    # double buffering: decode+transfer of patient i+1 overlaps compute of
+    # patient i — the study is tunnel-bandwidth-bound otherwise
+    for name, status, prep in prefetch_to_device(patient_stream(), size=2,
+                                                 put=_put):
+        try:
+            if isinstance(prep, Exception):
+                raise prep
+            frames_dev, gray = prep
+            areas = np.asarray(
+                pipe.yolo_unet_areas_gray(gray) if frames_dev is None
+                else pipe.yolo_unet_areas(frames_dev, gray_u8=gray))
             feats = kinematic_features(areas)
         except Exception as e:  # noqa: BLE001
-            print(f"  WARNING: {pdir.name}: failed ({type(e).__name__}: {e})")
+            print(f"  WARNING: {name}: failed ({type(e).__name__}: {e})")
             continue
         if feats is None:
-            print(f"  WARNING: {pdir.name}: silent waveform")
+            print(f"  WARNING: {name}: silent waveform")
             continue
         if feats["f0"] is not None:
             feats["f0"] = feats["f0"] * CAPTURE_FPS
-        rec = {"patient": pdir.name, "status": status,
+        rec = {"patient": name, "status": status,
                **{k: feats[k] for k in FEATURES}}
         records.append(rec)
-        print(f"  {pdir.name:<16} {status:<12} "
+        print(f"  {name:<16} {status:<12} "
               + " ".join(f"{k}={feats[k]:.3f}" if isinstance(feats[k], float)
                          else f"{k}=None" for k in FEATURES), flush=True)
 
