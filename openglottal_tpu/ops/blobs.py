@@ -281,15 +281,74 @@ def _select_top_n(mask, labF, labB, n: int):
     return (out_fg | out_bg).reshape(h, w)
 
 
+def _min_prop_batch(region, init, connectivity: int, iters: int, labels=None):
+    """Component broadcast over a (T, H, W) bool region: every pixel of each
+    component converges to the MIN of ``init`` (int32) over that component;
+    pixels outside the region = H*W.
+
+    Seeding one value at a component's single root pixel (H*W everywhere
+    else) broadcasts that value over the component — distinct components are
+    never adjacent within their own region mask, so values cannot leak.
+
+    TPU: one VMEM-resident Pallas fixpoint (same segmented-scan sweeps as the
+    CC kernel).  Fallback: a scatter-min/gather through the component labels
+    (``labels`` — passed in by callers that already ran CC on the region)."""
+    t, h, w = region.shape
+    if h % 8 == 0 and w % 128 == 0 and jax.default_backend() == "tpu":
+        from openglottal_tpu.ops.blobs_pallas import min_prop_pallas_batch
+
+        return min_prop_pallas_batch(region, init, connectivity,
+                                     max(iters, 64) * 8)
+    if labels is None:
+        labels = jax.vmap(lambda m: _propagate(m, iters, connectivity))(region)
+    hw = h * w
+
+    def one(lab, ini, reg):
+        lf = lab.reshape(-1)
+        vals = jnp.where(reg.reshape(-1), ini.reshape(-1), hw)
+        tbl = jnp.full((hw + 1,), hw, jnp.int32).at[lf].min(vals)
+        return jnp.where(reg, tbl[lf].reshape(h, w), hw)
+
+    return jax.vmap(one)(labels, init.astype(jnp.int32), region)
+
+
+def _shift_down_frame(x, fill):
+    """Frame-local shift: value of the pixel ABOVE (row r-1); row 0 -> fill."""
+    top = jnp.full_like(x[:, :1, :], fill)
+    return jnp.concatenate([top, x[:, :-1, :]], axis=1)
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def top_n_blobs_batch(masks, n: int, iters: int = 4096):
-    """:func:`top_n_blobs` over a (T, H, W) stack of independent masks.
+    """:func:`top_n_blobs` over a (T, H, W) stack of independent masks — the
+    production path for the frame-parallel trackers (models/tracker.py).
 
-    Identical per-frame semantics; the two CC propagations run through the
-    BATCHED Pallas kernel (one launch for all frames) instead of a per-frame
-    vmap — the production path for the frame-parallel trackers
-    (models/tracker.py), where per-frame kernels are instruction-overhead
-    bound and pay the sum of convergence sweeps instead of the max."""
+    Same per-frame semantics, entirely different realization: the per-frame
+    version's component-tree tables (HW-sized gathers/scatters) are replaced
+    by label-propagation broadcasts, elementwise shifts, and one sort — ops
+    that stay fast on TPU at any batch size (the table form compiled into
+    serialized loop nests whose ~2 MB/frame of spill buffers got paged over
+    the host tunnel under shared-HBM pressure: a stable ~4.9 s/call cliff).
+
+      1. labF/labB: batched Pallas CC of mask (8-conn) / background (4-conn).
+      2. Parent fields: at each component's root pixel (label == own index)
+         the pixel directly above belongs to the enclosing region, so a
+         min-propagation broadcast of that value over the component yields
+         per-pixel enclosing-comp labels with no table lookups.
+      3. cv2 FILLED-hole test (see :func:`top_n_blobs`): a background comp is
+         a hole unless it touches the border or 8-touches a foreground comp
+         that is neither its encloser nor nested inside it; the OR over the
+         comp is a min-propagation of the negated seed.
+      4. Absorb chase: a nested family {G ⊃ hole H ⊃ nested F ⊃ ...} is one
+         connected cluster of (mask | hole pixels), and the top-level comp's
+         root is the cluster's min flat index (each root's above-pixel lives
+         in its encloser, so indices strictly decrease going up) — so ONE CC
+         pass over that union replaces the rootF pointer chase, to arbitrary
+         nesting depth.
+      5. Rank: sort per-frame top-level owner labels of foreground pixels,
+         run-length the sorted array, top_k on (size, smaller-label) packed
+         scores.  Paint = elementwise compare against the n kept labels.
+    """
     t = masks.shape[0]
     masks = masks.astype(jnp.bool_)
     ph = (-masks.shape[1]) % 8
@@ -297,10 +356,61 @@ def top_n_blobs_batch(masks, n: int, iters: int = 4096):
     oh, ow = masks.shape[1], masks.shape[2]
     if ph or pw:
         masks = jnp.pad(masks, ((0, 0), (0, ph), (0, pw)))
+    h, w = masks.shape[1], masks.shape[2]
+    hw = h * w
+    big = jnp.int32(hw)
+    idx = jnp.arange(hw, dtype=jnp.int32).reshape(1, h, w)
+    bg = ~masks
+
     labF = _propagate_batch(masks, iters, connectivity=8)
-    labB = _propagate_batch(~masks, iters, connectivity=4)
-    out = jax.vmap(lambda m, lF, lB: _select_top_n(m, lF, lB, n))(
-        masks, labF, labB)
+    labB = _propagate_batch(bg, iters, connectivity=4)
+
+    # enclosing fg comp per bg pixel / surrounding bg comp per fg pixel
+    fgp_seed = jnp.where(bg & (labB == idx), _shift_down_frame(labF, big), big)
+    fgp = _min_prop_batch(bg, fgp_seed, 4, iters, labels=labB)
+    bgp_seed = jnp.where(masks & (labF == idx), _shift_down_frame(labB, big),
+                         big)
+    bgp = _min_prop_batch(masks, bgp_seed, 8, iters, labels=labF)
+
+    # hole violation: an 8-adjacent fg comp that is neither my enclosing comp
+    # nor nested inside my comp
+    bad = jnp.zeros_like(masks)
+    padF = jnp.pad(labF, ((0, 0), (1, 1), (1, 1)), constant_values=hw)
+    padP = jnp.pad(bgp, ((0, 0), (1, 1), (1, 1)), constant_values=hw)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nbF = padF[:, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+            nbP = padP[:, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+            bad |= (nbF != big) & (nbF != fgp) & (nbP != labB)
+    r = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, h, w), 2)
+    border = (r == 0) | (r == h - 1) | (c == 0) | (c == w - 1)
+    seed_nh = jnp.where(bg & (bad | border), 0, 1)   # 0 = definitely not hole
+    nh = _min_prop_batch(bg, seed_nh, 4, iters, labels=labB)
+    hole_pix = bg & (nh == 1) & (fgp != big)
+
+    union = masks | hole_pix
+    owner = _propagate_batch(union, iters, connectivity=8)
+
+    # rank by fg pixel count (ties -> smaller label), keep n, paint the union
+    om = jnp.where(masks, owner, big).reshape(t, hw)
+    s = jnp.sort(om, axis=1)
+    pos = jnp.arange(hw, dtype=jnp.int32)[None, :]
+    bnd = jnp.concatenate(
+        [jnp.ones((t, 1), bool), s[:, 1:] != s[:, :-1]], axis=1)
+    nxt = jnp.concatenate(
+        [jnp.where(bnd, pos, hw)[:, 1:], jnp.full((t, 1), hw, jnp.int32)],
+        axis=1)
+    nxt = jax.lax.cummin(nxt, axis=1, reverse=True)  # next boundary after i
+    size = nxt - pos
+    score = jnp.where(bnd & (s < big), size * (hw + 1) + (hw - 1 - s), -1)
+    top = jax.lax.top_k(score, n)[0]                 # (t, n)
+    klab = (big - 1) - (top % (hw + 1))
+    keep = (owner[..., None] == klab[:, None, None, :]) & (top > 0)[:, None,
+                                                                    None, :]
+    out = union & keep.any(-1)
     return out[:, :oh, :ow]
 
 

@@ -120,23 +120,40 @@ def _make_kernel(connectivity: int, max_iters: int):
 
 
 def _make_batch_kernel(b: int, h: int, w: int, connectivity: int,
-                       max_iters: int):
-    """CC labels for a (B, H, W) block of independent masks, processed as one
-    (B·H, W) VMEM-resident grid with walls at frame boundaries.
+                       max_iters: int, with_init: bool = False):
+    """Min-propagation to fixpoint for a (B, H, W) block of independent
+    masks, processed as one (B·H, W) VMEM-resident grid with walls at frame
+    boundaries.
+
+    Without ``with_init`` this is connected-components labelling (each
+    foreground pixel starts at its frame-local flat index; fixpoint = min
+    index of its component).  With ``with_init`` the kernel takes a second
+    (B, H, W) int32 operand and propagates the min of those values over each
+    region component instead — the "component broadcast" primitive: seed the
+    one root pixel of a component with a value (everything else = H*W) and
+    every pixel of the component converges to it.  Distinct components are
+    never 4-/8-adjacent within their own region mask, so values cannot leak.
 
     Batching matters twice on TPU: ops on a single small mask (a tracker crop
     is ~17 sublane tiles) are instruction-overhead-bound, and a serial
     grid/vmap pays SUM of per-frame convergence sweeps — the merged grid runs
     B frames per VPU op and converges in the MAX of their sweep counts."""
 
-    def kernel(mask_ref, out_ref):
+    def kernel(mask_ref, *rest):
+        if with_init:
+            init_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
         big = jnp.int32(h * w)
         # per-frame row index / labels built in 3-D (no integer mod needed)
         rmod3 = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
         rmod = rmod3.reshape(b * h, w)
         cols = jax.lax.broadcasted_iota(jnp.int32, (b * h, w), 1)
         m = mask_ref[...].reshape(b * h, w) != 0
-        lab0 = jnp.where(m, rmod * w + cols, big)
+        if with_init:
+            lab0 = jnp.where(m, init_ref[...].reshape(b * h, w), big)
+        else:
+            lab0 = jnp.where(m, rmod * w + cols, big)
         top, bot = rmod == 0, rmod == h - 1          # frame-local walls
         left, right = cols == 0, cols == w - 1
         n_rows = b * h
@@ -244,6 +261,32 @@ def connected_components_pallas_batch(masks, connectivity: int = 8,
         out_specs=pl.BlockSpec((b, h, w), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
     )(masks.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def min_prop_pallas_batch(region, init, connectivity: int = 8,
+                          max_iters: int = 65536):
+    """Per-frame component broadcast on TPU: for every component of
+    ``region`` (T, H, W) bool, every pixel converges to the MIN of ``init``
+    (int32) over that component; pixels outside region = H*W.
+
+    With init = per-frame flat index this is exactly CC; with init = a value
+    seeded at each component's root pixel (H*W elsewhere) it broadcasts the
+    root's value over the component — the primitive behind the gather-free
+    top-n blob selection (ops/blobs._select_fields_batch).
+    """
+    t, h, w = region.shape
+    max_iters = min(max_iters, h * w // 2 + 2)
+    b = _group_size(t, h, w)
+    spec = pl.BlockSpec((b, h, w), lambda g: (g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_batch_kernel(b, h, w, connectivity, max_iters, with_init=True),
+        grid=(t // b,),
+        out_shape=jax.ShapeDtypeStruct((t, h, w), jnp.int32),
+        in_specs=[spec, spec],
+        out_specs=spec,
+    )(region.astype(jnp.int32), init.astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnums=(1, 2))

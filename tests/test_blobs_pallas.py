@@ -17,6 +17,7 @@ import jax.numpy as jnp  # noqa: E402
 from openglottal_tpu.ops.blobs_pallas import (  # noqa: E402
     connected_components_pallas,
     connected_components_pallas_batch,
+    min_prop_pallas_batch,
 )
 
 RNG = np.random.default_rng(13)
@@ -89,3 +90,26 @@ def test_pallas_batch_matches_single(conn, hw):
     for i in range(masks.shape[0]):
         want = np.asarray(connected_components_pallas(jnp.asarray(masks[i]), conn))
         np.testing.assert_array_equal(got[i], want, err_msg=f"frame {i}")
+
+
+@pytest.mark.parametrize("conn", [4, 8])
+def test_pallas_min_prop_broadcasts_root_value(conn):
+    """min_prop with a value seeded at each component's root (H*W elsewhere)
+    must broadcast that value over the whole component and nothing else —
+    the primitive behind the gather-free top-n selection (ops/blobs)."""
+    h, w = 136, 256
+    masks = np.stack([RNG.random((h, w)) < p for p in (0.35, 0.55, 0.7, 1.0)])
+    t = masks.shape[0]
+    labs = np.asarray(connected_components_pallas_batch(jnp.asarray(masks), conn))
+    idx = np.arange(h * w).reshape(1, h, w)
+    vals = RNG.integers(0, 1000, (t, h, w)).astype(np.int32)
+    init = np.where(masks & (labs == idx), vals, h * w).astype(np.int32)
+    got = np.asarray(min_prop_pallas_batch(jnp.asarray(masks),
+                                           jnp.asarray(init), conn))
+    # expected: every pixel gets its root's value (root = pixel whose flat
+    # index equals the component label)
+    want = np.full((t, h, w), h * w, np.int32)
+    for i in range(t):
+        roots = vals[i].reshape(-1)[labs[i][masks[i]]]
+        want[i][masks[i]] = roots
+    np.testing.assert_array_equal(got, want)
