@@ -12,9 +12,11 @@ f32 params, and with a mesh the batch axis shards over ``data`` (grad psum
 inserted by XLA).  Checkpointing via orbax (params + opt_state + step —
 strictly more than the reference's weights-only files).
 
-One intentional divergence: the final PARTIAL batch of each epoch is dropped
-(static shapes; torch DataLoader defaults to drop_last=False) — at the
-reference's dataset sizes this is <1 batch out of dozens per epoch.
+The final partial batch of each epoch trains at its natural size (torch
+DataLoader drop_last=False semantics) — one extra jit specialization for the
+tail shape.  With a mesh, the tail is additionally trimmed to a multiple of
+the data-axis size so it shards evenly (documented divergence: up to
+n_devices-1 samples of the tail are skipped per epoch in mesh mode).
 """
 
 from __future__ import annotations
@@ -194,18 +196,27 @@ class UNetTrainer:
             perm = order_rng.permutation(n)
             t0 = time.time()
             losses = []
-            for i in range(0, n - bs + 1, bs):
+            i = 0
+            while i < n:
+                take = min(bs, n - i)
                 if self._bspec is not None:
-                    bi = jax.device_put(train_imgs[perm[i:i + bs]], self._bspec)
-                    bm = jax.device_put(train_msks[perm[i:i + bs]], self._bspec)
+                    take -= take % self.mesh.shape["data"]
+                    if take == 0:
+                        break
+                sel = perm[i:i + take]
+                i += take
+                if self._bspec is not None:
+                    bi = jax.device_put(train_imgs[sel], self._bspec)
+                    bm = jax.device_put(train_msks[sel], self._bspec)
                 else:
-                    idx = jnp.asarray(perm[i:i + bs])
+                    idx = jnp.asarray(sel)
                     bi, bm = train_imgs[idx], train_msks[idx]
                 k, self.rng = jax.random.split(self.rng)
                 state, l = unet_train_step(self.model, self.tx, state, bi, bm, k)
-                losses.append(l)
-            train_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
-
+                losses.append((l, take))
+            train_loss = (float(sum(float(l) * t for l, t in losses)
+                                / sum(t for _, t in losses))
+                          if losses else float("nan"))
             vlosses = []
             for i in range(0, len(val_imgs), bs):
                 vi, vm = val_imgs[i:i + bs], val_msks[i:i + bs]
@@ -230,6 +241,10 @@ class UNetTrainer:
                 val_loss = float(sum(float(l) * n for l, n in vlosses) / tot)
             else:
                 val_loss = float("nan")
+            # no val data: track improvement on the train loss so best/
+            # patience still function (reference crashes on an empty val
+            # loader; a working fallback is strictly better)
+            metric = val_loss if vlosses else train_loss
 
             rec = {"epoch": epoch + 1, "loss/train": train_loss,
                    "loss/val": val_loss, "lr": lr,
@@ -246,8 +261,8 @@ class UNetTrainer:
                 (Path(ckpt_dir) / "metrics.jsonl").open("a").write(
                     json.dumps(rec) + "\n")
 
-            if val_loss < best_val:
-                best_val = val_loss
+            if metric < best_val:
+                best_val = metric
                 best_params = jax.device_get(
                     {"params": state.params, "batch_stats": state.batch_stats})
                 bad_epochs = 0

@@ -171,14 +171,18 @@ class YoloTrainer:
             perm = order_rng.permutation(n)
             losses = []
             t0 = time.time()
-            for i in range(0, n - bs + 1, bs):
+            # natural-size tail batch: torch DataLoader drop_last=False
+            # semantics (one extra jit specialization for the tail shape)
+            for i in range(0, n, bs):
                 idx = jnp.asarray(perm[i:i + bs])
                 k, self.rng = jax.random.split(self.rng)
                 state, l, parts = yolo_train_step(
                     self.model, self.tx, state, imgs[idx], bx[idx], vd[idx], k)
-                losses.append(l)
+                losses.append((l, len(idx)))
             rec = {"epoch": epoch + 1,
-                   "loss/train": float(jnp.stack(losses).mean()) if losses else None,
+                   "loss/train": (float(sum(float(l) * t for l, t in losses)
+                                        / sum(t for _, t in losses))
+                                  if losses else None),
                    "lr": lr, "sec": round(time.time() - t0, 2)}
             if val_imgs is not None:
                 rec["recall/val"] = self.eval_recall(state, val_imgs, val_boxes)

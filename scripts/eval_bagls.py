@@ -176,6 +176,7 @@ def main() -> None:
         }
         if det_stats:
             payload["det_stats"] = det_stats
+        out_path.parent.mkdir(parents=True, exist_ok=True)
         with open(out_path, "w") as f:
             json.dump(payload, f)
         print(f"Saved {out_path}")

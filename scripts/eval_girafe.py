@@ -143,6 +143,7 @@ def main() -> None:
                                  if kk not in ("dices", "ious")}
                              for k, v in agg.items()},
                "per_frame_dice": {k: v["dices"] for k, v in agg.items()}}
+        Path(args.output_json).parent.mkdir(parents=True, exist_ok=True)
         with open(args.output_json, "w") as f:
             json.dump(out, f, indent=2)
         print(f"Raw results saved to {args.output_json}")
