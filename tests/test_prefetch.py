@@ -56,3 +56,19 @@ def test_initialize_distributed_single_host_noop(monkeypatch):
     assert initialize_distributed() is False
     assert process_index() == 0
     assert is_primary() is True
+
+
+def test_pipelines_prepare_prefetched_matches_prepare():
+    from openglottal_tpu.data.synthetic import synthetic_video
+    from openglottal_tpu.pipelines import GlottalPipelines
+
+    pipe = GlottalPipelines()
+    vids = [synthetic_video(t=4, size=64, seed=s)[0] for s in range(3)]
+    got = list(pipe.prepare_prefetched(vids, size=2))
+    assert len(got) == 3
+    for v, (fdev, gray) in zip(vids, got):
+        f2, g2 = pipe.prepare(v)
+        np.testing.assert_array_equal(np.asarray(gray), np.asarray(g2))
+        assert (fdev is None) == (f2 is None)
+        if fdev is not None:
+            np.testing.assert_array_equal(np.asarray(fdev), np.asarray(f2))
