@@ -39,6 +39,31 @@ def percentile_from_hist(hist, q):
     return v_lo * (1.0 - frac) + v_hi * frac, n
 
 
+def masked_percentile_sorted(values, mask, q):
+    """Exact np.percentile(values[mask], q) via a sort — same result as
+    ``percentile_from_hist(masked_histogram_u8(...))`` for integer-valued
+    inputs, but scatter-free: the vmapped histogram's 256-bin scatter-add
+    compiles to a serialized slow path on TPU (355 ms for 512 frames on the
+    guided-VFT hot path), while a batched sort runs in ~1 ms.
+
+    Returns (value, n); value is garbage when n == 0 (caller gates on n).
+    """
+    v = values.reshape(-1).astype(jnp.float32)
+    m = mask.reshape(-1)
+    n = m.sum().astype(jnp.float32)
+    s = jnp.sort(jnp.where(m, v, jnp.float32(jnp.inf)))
+    rank = (q / 100.0) * jnp.maximum(n - 1.0, 0.0)
+    k = jnp.floor(rank)
+    frac = rank - k
+    ki = k.astype(jnp.int32)
+    last = jnp.maximum(n.astype(jnp.int32) - 1, 0)
+    v_lo = s[jnp.minimum(ki, last)]
+    v_hi = s[jnp.minimum(ki + 1, last)]
+    # frac == 0 whenever ki lands on the last element, so v_hi's clipping
+    # never changes the interpolated value — mirrors percentile_from_hist
+    return v_lo * (1.0 - frac) + v_hi * frac, n
+
+
 def masked_percentile_u8(values, mask, q, fallback):
     """Exact np.percentile of uint8 ``values[mask]``; ``fallback`` when mask empty."""
     hist = masked_histogram_u8(values, mask)

@@ -51,3 +51,27 @@ def test_otsu_matches_cv2():
         t_cv, _ = cv2.threshold(img, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
         t = float(otsu_threshold(img))
         assert abs(t - t_cv) <= 1.0
+
+
+def test_masked_percentile_sorted_matches_hist():
+    """Sort-based percentile must equal the histogram percentile (and
+    np.percentile) exactly on integer-valued inputs, for every n incl. tiny
+    masks."""
+    import jax.numpy as jnp
+    from openglottal_tpu.ops.histogram import (
+        masked_histogram_u8, masked_percentile_sorted, percentile_from_hist,
+    )
+
+    rng = np.random.default_rng(3)
+    for q in (5.0, 30.0, 50.0, 95.0):
+        for trial in range(8):
+            v = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+            m = rng.random((24, 32)) < (0.002 + 0.2 * trial)
+            hv, hn = percentile_from_hist(
+                masked_histogram_u8(jnp.asarray(v), jnp.asarray(m)), q)
+            sv, sn = masked_percentile_sorted(jnp.asarray(v), jnp.asarray(m), q)
+            assert int(hn) == int(sn) == int(m.sum())
+            if m.sum() > 0:
+                np.testing.assert_allclose(float(sv), float(hv), atol=1e-5)
+                np.testing.assert_allclose(
+                    float(sv), np.percentile(v[m], q), atol=1e-4)
