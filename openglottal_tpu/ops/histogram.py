@@ -14,10 +14,16 @@ import jax.numpy as jnp
 
 
 def masked_histogram_u8(values, mask):
-    """256-bin histogram of ``values`` (any shape, 0..255) where ``mask`` is true."""
-    v = values.astype(jnp.int32).reshape(-1)
-    m = mask.reshape(-1).astype(jnp.float32)
-    return jnp.zeros((256,), jnp.float32).at[v].add(m)
+    """256-bin histogram of ``values`` (any shape, 0..255) where ``mask`` is true.
+
+    Computed as sort + 257 binary searches rather than a scatter-add: the
+    vmapped scatter compiles to a serialized slow path on TPU (hundreds of
+    ms per 512-frame batch), while batched sort + searchsorted stays ~1 ms.
+    Counts are exact either way."""
+    v = jnp.where(mask.reshape(-1), values.reshape(-1).astype(jnp.int32), 256)
+    s = jnp.sort(v)
+    edges = jnp.searchsorted(s, jnp.arange(257, dtype=jnp.int32), side="left")
+    return (edges[1:] - edges[:-1]).astype(jnp.float32)
 
 
 def percentile_from_hist(hist, q):
