@@ -48,6 +48,11 @@ def main(argv: list[str] | None = None) -> None:
     run_p.add_argument("--output", "-o", default="results")
     run_p.add_argument("--conf", type=float, default=None,
                        help="YOLO confidence threshold (default from config).")
+    run_p.add_argument("--stream", type=int, default=0, metavar="CHUNK",
+                       help="Process the video in CHUNK-frame segments with "
+                            "bounded memory (unet / unet-only only; the gate "
+                            "state carries across segments, results are "
+                            "identical to whole-video processing).")
 
     bd_p = sub.add_parser("build-dataset",
                           help="Build a YOLO detection dataset from masks.")
@@ -124,8 +129,16 @@ def _cmd_run(parser: argparse.ArgumentParser, args) -> None:
         ygvft_params=cfg.ygvft_params(),
     )
 
-    frames = load_frames_bgr(args.video)
-    feats = pipe.extract_features(frames, args.pipeline)
+    if args.stream:
+        if args.pipeline not in ("unet", "unet-only"):
+            parser.error("--stream supports the unet / unet-only pipelines.")
+        from openglottal_tpu.data.video import iter_frames_bgr
+
+        feats = pipe.stream_features(
+            iter_frames_bgr(args.video, chunk=args.stream), args.pipeline)
+    else:
+        frames = load_frames_bgr(args.video)
+        feats = pipe.extract_features(frames, args.pipeline)
     if feats is None:
         print("No glottis detected — check your weights or input video.")
         sys.exit(1)

@@ -47,6 +47,35 @@ def load_frames_bgr(path) -> np.ndarray:
     return np.stack(frames)
 
 
+def iter_frames_bgr(path, chunk: int = 512):
+    """Decode a video as a stream of (n<=chunk, H, W, 3) uint8 BGR arrays.
+
+    Bounded-memory alternative to :func:`load_frames_bgr` (which mirrors the
+    reference's whole-video-into-RAM load, utils.py:43-54): feeds the
+    streaming pipelines (pipelines.GlottalPipelines.stream_areas) so
+    arbitrarily long 4000 fps recordings process in O(chunk) host and device
+    memory while only the scalar waveform accumulates.
+    """
+    import cv2
+
+    with _silence_stderr():
+        cap = cv2.VideoCapture(str(path))
+        try:
+            frames = []
+            while True:
+                ret, frm = cap.read()
+                if not ret:
+                    break
+                frames.append(frm)
+                if len(frames) == chunk:
+                    yield np.stack(frames)
+                    frames = []
+            if frames:
+                yield np.stack(frames)
+        finally:
+            cap.release()
+
+
 def bgr_to_gray_u8(frames_bgr):
     """cv2.cvtColor(BGR2GRAY) bit-exact: fixed-point BT.601.
 

@@ -94,6 +94,27 @@ def gate_step(state: GateState, det, frame_h: int, frame_w: int,
     return new_state, (valid, box)
 
 
+@partial(jax.jit, static_argnums=(3, 4), static_argnames=("params",))
+def gate_scan_carry(state: GateState, has, boxes, frame_h: int, frame_w: int,
+                    params: GateParams = GateParams()):
+    """Gate scan resumable across video segments: runs the FSM over this
+    segment starting from ``state`` and returns the carry for the next one.
+
+    The carry is the whole of the reference TemporalDetector's mutable state
+    (detector.py:36-40), so feeding a video through in chunks is bit-exact
+    with one scan over the concatenation — the streaming pipelines
+    (pipelines.GlottalPipelines.stream_areas) rely on this.
+
+    Returns (new_state, (out_valid (T,) bool, out_boxes (T, 4) i32)).
+    """
+    def step(st, xs):
+        h_, b = xs
+        return gate_step(st, (h_, b[0], b[1], b[2], b[3]), frame_h, frame_w,
+                         params)
+
+    return jax.lax.scan(step, state, (has, boxes.astype(jnp.float32)))
+
+
 @partial(jax.jit, static_argnums=(2, 3), static_argnames=("params",))
 def gate_scan(has, boxes, frame_h: int, frame_w: int,
               params: GateParams = GateParams()):
@@ -105,11 +126,8 @@ def gate_scan(has, boxes, frame_h: int, frame_w: int,
     Returns (out_valid (T,) bool, out_boxes (T, 4) i32).  Frames where
     out_valid is False correspond to the reference returning None.
     """
-    def step(state, xs):
-        h_, b = xs
-        return gate_step(state, (h_, b[0], b[1], b[2], b[3]), frame_h, frame_w, params)
-
-    _, (ov, ob) = jax.lax.scan(step, gate_init(), (has, boxes.astype(jnp.float32)))
+    _, (ov, ob) = gate_scan_carry(gate_init(), has, boxes, frame_h, frame_w,
+                                  params=params)
     return ov, ob
 
 

@@ -144,6 +144,33 @@ def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
     return _box_area_sums(masks, valid, boxes)
 
 
+@partial(jax.jit, static_argnames=("conf", "dtype"))
+def _stream_yolo_unet_chunk(unet_variables, yolo_variables, gray_u8,
+                            conf: float, dtype):
+    """Stateless per-segment compute for the streaming path: U-Net masks +
+    raw max-conf detections for a (T_pad, 256, 256) uint8 segment (T_pad a
+    multiple of CHUNK; lax.map bounds HBM).  The order-dependent gate runs
+    OUTSIDE with a carried state (models/gate.gate_scan_carry)."""
+    t_pad = gray_u8.shape[0]
+    h, w = gray_u8.shape[1:]
+    chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
+    unet = UNet(dtype=dtype)
+    yolo = YOLOv8(nc=1, dtype=dtype)
+
+    def per_chunk(g):
+        x = (g.astype(jnp.float32) / 255.0)[..., None]
+        masks = jax.nn.sigmoid(
+            unet.apply(unet_variables, x, train=False)[..., 0]) > 0.5
+        x3 = jnp.broadcast_to(x, x.shape[:3] + (3,))
+        outs = yolo.apply(yolo_variables, x3, train=False)
+        has, box, _ = max_conf_detect(outs, h, w, conf)
+        return masks, has, box
+
+    masks, has, raw = jax.lax.map(per_chunk, chunks)
+    return (masks.reshape(t_pad, h, w), has.reshape(t_pad),
+            raw.reshape(t_pad, 4))
+
+
 @partial(jax.jit, static_argnames=("dtype",))
 def _fused_unet_only_video(unet_variables, gray_u8, dtype):
     """ONE dispatch: whole monochrome 256² video -> full-frame area waveform
@@ -623,6 +650,63 @@ class GlottalPipelines:
         raise ValueError(f"unknown pipeline {pipeline!r}")
 
     # ── feature extraction entry points (reference features.py API) ──────
+
+    # ── streaming (bounded-memory) pipelines ──────────────────────────────
+
+    def stream_areas(self, chunks, pipeline: str = "unet",
+                     prefetch: int = 2) -> np.ndarray:
+        """Area waveform from a stream of frame chunks, in O(chunk) memory.
+
+        The reference loads whole videos into host RAM (utils.py:43-54);
+        this processes arbitrarily long recordings segment by segment:
+        ``chunks`` is an iterable of (n, 256, 256[, 3]) uint8 arrays (e.g.
+        ``data.video.iter_frames_bgr(path)``), transfers are double-buffered
+        ahead of compute, and only the scalar waveform accumulates on host.
+
+        Pipelines: "unet" (YOLO+UNet; the gate FSM's state is carried across
+        segment boundaries, so the result is bit-identical to
+        ``yolo_unet_areas`` on the concatenated video) and "unet-only".
+        """
+        if pipeline not in ("unet", "unet-only"):
+            raise ValueError(
+                f"stream_areas supports 'unet' and 'unet-only', got "
+                f"{pipeline!r} (the motion trackers lock crop geometry to "
+                f"the first detection — use the whole-video API)")
+        from openglottal_tpu.data.prefetch import prefetch_to_device
+        from openglottal_tpu.models.gate import gate_init, gate_scan_carry
+
+        state = gate_init()
+        areas = []
+        for _, gray in prefetch_to_device(chunks, size=prefetch,
+                                          put=self._prepare):
+            t_c = int(gray.shape[0])
+            if t_c == 0:
+                continue
+            h, w = gray.shape[1:3]
+            g = _pad_to(gray, _bucket(t_c))
+            if pipeline == "unet-only":
+                a = _fused_unet_only_video(self.unet_variables, g, self.dtype)
+                areas.append(a[:t_c])
+                continue
+            masks, has, raw = _stream_yolo_unet_chunk(
+                self.unet_variables, self.yolo_variables, g,
+                conf=self.conf, dtype=self.dtype)
+            state, (valid, boxes) = gate_scan_carry(
+                state, has[:t_c], raw[:t_c], h, w, params=self.gate_params)
+            # keep per-segment waveforms on device: converting here would
+            # sync each segment and stall the transfer/compute overlap
+            areas.append(_box_area_sums(masks[:t_c], valid, boxes))
+        if not areas:
+            return np.zeros((0,), np.float32)
+        return np.concatenate([np.asarray(a) for a in areas])
+
+    def stream_features(self, chunks, pipeline: str = "unet"):
+        """Kinematic features from a chunk stream; None on empty or silent
+        waveforms (reference cli semantics)."""
+        areas = self.stream_areas(chunks, pipeline)
+        if areas.size == 0:
+            return None
+        return kinematic_features(areas)
 
     def extract_features(self, frames_bgr_u8, pipeline: str):
         """Reference features.py API over host frames; each pipeline does its
