@@ -250,3 +250,73 @@ def extract_features_unet(avi_path, detector: TemporalDetector | None,
         return pipe.extract_features(frames, "unet-only")
     pipe = detector._pipelines(unet_variables=model_variables)
     return pipe.extract_features(frames, "unet")
+
+
+class GlottisDataset:
+    """Drop-in indexable dataset matching the reference class
+    (openglottal/models/unet.py:91-192): grayscale PNG frames + binary masks
+    letterboxed to 256², optional train-time augmentation.
+
+    Returns torch float tensors (1, 256, 256) like the reference, so
+    existing ``DataLoader`` training loops work unchanged (numpy arrays when
+    torch is unavailable).  Augmentation runs through this framework's fused
+    augmentation chain (data/augment.py — statistical parity with the
+    reference's torchvision chain, pinned by tests/test_augment.py), seeded
+    per-dataset instead of the reference's unseeded ``random``.  Batched TPU
+    training should use ``data.dataset.materialize_split`` +
+    ``train.UNetTrainer`` instead — per-item loading is the reference's
+    bottleneck, not ours.
+    """
+
+    SIZE = 256
+
+    def __init__(self, fnames, img_dir, lbl_dir, augment: bool = False,
+                 label_suffix: str = "", seed: int = 0):
+        from pathlib import Path
+
+        self.fnames = list(fnames)
+        self.img_dir = Path(img_dir)
+        self.lbl_dir = Path(lbl_dir)
+        self.augment = augment
+        self.label_suffix = label_suffix
+        import jax
+
+        self._key = jax.random.PRNGKey(seed)
+
+    def __len__(self) -> int:
+        return len(self.fnames)
+
+    def __getitem__(self, idx: int):
+        import cv2
+        from pathlib import Path
+
+        from openglottal_tpu.data.dataset import _letterbox_pair
+
+        fname = self.fnames[idx]
+        stem = Path(fname).stem
+        lbl = f"{stem}{self.label_suffix}.png" if self.label_suffix else fname
+        img = cv2.imread(str(self.img_dir / fname), cv2.IMREAD_GRAYSCALE)
+        msk = cv2.imread(str(self.lbl_dir / lbl), cv2.IMREAD_GRAYSCALE)
+        if img is None or msk is None:
+            raise FileNotFoundError(f"missing image or mask: {fname} / {lbl}")
+        img, msk = _letterbox_pair(img, msk)
+        x = img.astype(np.float32) / 255.0
+        y = (msk > 0).astype(np.float32)
+
+        if self.augment:
+            import jax
+            import jax.numpy as jnp
+
+            from openglottal_tpu.data.augment import augment_batch
+
+            self._key, k = jax.random.split(self._key)
+            xa, ya = augment_batch(k, jnp.asarray(x)[None], jnp.asarray(y)[None])
+            x, y = np.asarray(xa[0]), np.asarray(ya[0])
+
+        try:
+            import torch
+
+            return (torch.from_numpy(x).unsqueeze(0),
+                    torch.from_numpy(y).unsqueeze(0))
+        except ImportError:
+            return x[None], y[None]

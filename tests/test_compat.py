@@ -99,3 +99,45 @@ def test_temporal_detector_crop_and_crop_size(tmp_path):
     assert det.crop(frame, None) is frame
     det.reset()
     assert det.crop_size is None
+
+
+def test_glottis_dataset_drop_in(tmp_path):
+    """compat.GlottisDataset mirrors reference models/unet.py:91-192:
+    letterboxed (1,256,256) float tensors, label_suffix resolution, seeded
+    augmentation staying in range."""
+    import cv2
+
+    rng = np.random.default_rng(5)
+    img = (rng.random((200, 320)) * 255).astype(np.uint8)  # non-256: letterbox
+    msk = (rng.random((200, 320)) > 0.7).astype(np.uint8) * 255
+    cv2.imwrite(str(tmp_path / "7.png"), img)
+    cv2.imwrite(str(tmp_path / "7_seg.png"), msk)
+
+    from openglottal_tpu.models import GlottisDataset
+
+    ds = GlottisDataset(["7.png"], tmp_path, tmp_path, label_suffix="_seg")
+    assert len(ds) == 1
+    x, y = ds[0]
+    x, y = np.asarray(x), np.asarray(y)
+    assert x.shape == (1, 256, 256) and y.shape == (1, 256, 256)
+    assert x.dtype == np.float32
+    assert set(np.unique(y)) <= {0.0, 1.0}
+    # letterboxed: top/bottom padding rows are zero (200x320 -> 160x256 content)
+    assert x[0, :40].max() == 0.0 and x[0, -40:].max() == 0.0
+
+    from openglottal_tpu.data.dataset import materialize_split
+
+    imgs, msks = materialize_split(["7.png"], tmp_path, tmp_path,
+                                   label_suffix="_seg")
+    np.testing.assert_allclose(x[0], imgs[0].astype(np.float32) / 255.0)
+    np.testing.assert_array_equal(y[0], msks[0].astype(np.float32))
+
+    aug = GlottisDataset(["7.png"], tmp_path, tmp_path, label_suffix="_seg",
+                         augment=True, seed=3)
+    xa, ya = aug[0]
+    xa, ya = np.asarray(xa), np.asarray(ya)
+    assert xa.shape == (1, 256, 256)
+    assert 0.0 <= xa.min() and xa.max() <= 1.0
+    assert set(np.unique(ya)) <= {0.0, 1.0}
+    xb = np.asarray(aug[0][0])
+    assert not np.array_equal(xa, xb)  # fresh key per draw
