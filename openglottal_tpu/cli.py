@@ -50,7 +50,8 @@ def main(argv: list[str] | None = None) -> None:
                        help="YOLO confidence threshold (default from config).")
     run_p.add_argument("--stream", type=int, default=0, metavar="CHUNK",
                        help="Process the video in CHUNK-frame segments with "
-                            "bounded memory (unet / unet-only only; the gate "
+                            "bounded memory (unet / crop-unet / unet-only; "
+                            "the gate "
                             "state carries across segments, results are "
                             "identical to whole-video processing).")
 
@@ -130,8 +131,9 @@ def _cmd_run(parser: argparse.ArgumentParser, args) -> None:
     )
 
     if args.stream:
-        if args.pipeline not in ("unet", "unet-only"):
-            parser.error("--stream supports the unet / unet-only pipelines.")
+        if args.pipeline not in ("unet", "unet-only", "crop-unet"):
+            parser.error("--stream supports the unet / crop-unet / "
+                         "unet-only pipelines.")
         from openglottal_tpu.data.video import iter_frames_bgr
 
         feats = pipe.stream_features(

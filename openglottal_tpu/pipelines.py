@@ -145,6 +145,26 @@ def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
 
 
 @partial(jax.jit, static_argnames=("conf", "dtype"))
+def _stream_yolo_chunk(yolo_variables, gray_u8, conf: float, dtype):
+    """YOLO-only per-segment detections for the streaming crop-unet path:
+    (has (T_pad,), raw boxes (T_pad, 4)) for a (T_pad, 256, 256) segment."""
+    t_pad = gray_u8.shape[0]
+    h, w = gray_u8.shape[1:]
+    chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
+    yolo = YOLOv8(nc=1, dtype=dtype)
+
+    def per_chunk(g):
+        x = (g.astype(jnp.float32) / 255.0)[..., None]
+        x3 = jnp.broadcast_to(x, x.shape[:3] + (3,))
+        outs = yolo.apply(yolo_variables, x3, train=False)
+        has, box, _ = max_conf_detect(outs, h, w, conf)
+        return has, box
+
+    has, raw = jax.lax.map(per_chunk, chunks)
+    return has.reshape(t_pad), raw.reshape(t_pad, 4)
+
+
+@partial(jax.jit, static_argnames=("conf", "dtype"))
 def _stream_yolo_unet_chunk(unet_variables, yolo_variables, gray_u8,
                             conf: float, dtype):
     """Stateless per-segment compute for the streaming path: U-Net masks +
@@ -663,15 +683,16 @@ class GlottalPipelines:
         ``data.video.iter_frames_bgr(path)``), transfers are double-buffered
         ahead of compute, and only the scalar waveform accumulates on host.
 
-        Pipelines: "unet" (YOLO+UNet; the gate FSM's state is carried across
-        segment boundaries, so the result is bit-identical to
-        ``yolo_unet_areas`` on the concatenated video) and "unet-only".
+        Pipelines: "unet" (YOLO+UNet), "crop-unet", and "unet-only" — every
+        stage is stateless per frame except the gate FSM, whose state is
+        carried across segment boundaries (gate_scan_carry), so results are
+        bit-identical to the whole-video paths.
         """
-        if pipeline not in ("unet", "unet-only"):
+        if pipeline not in ("unet", "unet-only", "crop-unet"):
             raise ValueError(
-                f"stream_areas supports 'unet' and 'unet-only', got "
-                f"{pipeline!r} (the motion trackers lock crop geometry to "
-                f"the first detection — use the whole-video API)")
+                f"stream_areas supports 'unet', 'crop-unet' and 'unet-only', "
+                f"got {pipeline!r} (the motion trackers' EMA recurrences "
+                f"reassociate under segmentation — use the whole-video API)")
         from openglottal_tpu.data.prefetch import prefetch_to_device
         from openglottal_tpu.models.gate import gate_init, gate_scan_carry
 
@@ -687,6 +708,16 @@ class GlottalPipelines:
             if pipeline == "unet-only":
                 a = _fused_unet_only_video(self.unet_variables, g, self.dtype)
                 areas.append(a[:t_c])
+                continue
+            if pipeline == "crop-unet":
+                has, raw = _stream_yolo_chunk(self.yolo_variables, g,
+                                              conf=self.conf, dtype=self.dtype)
+                state, (valid, boxes) = gate_scan_carry(
+                    state, has[:t_c], raw[:t_c], h, w,
+                    params=self.gate_params)
+                masks, _, _ = self.crop_unet_masks(None, gray_u8=gray,
+                                                   valid=valid, boxes=boxes)
+                areas.append(masks.sum((1, 2)).astype(jnp.float32))
                 continue
             masks, has, raw = _stream_yolo_unet_chunk(
                 self.unet_variables, self.yolo_variables, g,

@@ -101,3 +101,13 @@ def test_iter_frames_bgr_matches_full_decode(video):
     chunks = list(iter_frames_bgr(avi, chunk=7))
     assert [len(c) for c in chunks] == [7, 7, 7, 2]
     np.testing.assert_array_equal(np.concatenate(chunks), full)
+
+
+def test_stream_crop_unet_matches_batch(pipe, video):
+    pipe_c = GlottalPipelines(unet_variables=pipe.unet_variables,
+                              crop_unet_variables=pipe.unet_variables,
+                              yolo_variables=pipe.yolo_variables,
+                              conf=0.0, dtype=jnp.float32)
+    _, _, _, want = pipe_c.run_pipeline_full(video, "crop-unet")
+    got = pipe_c.stream_areas(_chunked(video, [10, 9, 4]), "crop-unet")
+    np.testing.assert_array_equal(got, np.asarray(want))
