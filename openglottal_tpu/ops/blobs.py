@@ -405,11 +405,27 @@ def top_n_blobs_batch(masks, n: int, iters: int = 4096):
         axis=1)
     nxt = jax.lax.cummin(nxt, axis=1, reverse=True)  # next boundary after i
     size = nxt - pos
-    score = jnp.where(bnd & (s < big), size * (hw + 1) + (hw - 1 - s), -1)
-    top = jax.lax.top_k(score, n)[0]                 # (t, n)
-    klab = (big - 1) - (top % (hw + 1))
-    keep = (owner[..., None] == klab[:, None, None, :]) & (top > 0)[:, None,
-                                                                    None, :]
+    # (size desc, label asc) lexicographic top-n WITHOUT a packed key: the
+    # int32 pack size*(hw+1)+(hw-1-label) overflows once a blob exceeds
+    # 2^31/(hw+1) px (32767 px on a 256² frame — half the frame), silently
+    # dropping the largest blobs.  top_k ranks sizes exactly; ties resolve
+    # by n masked-min passes over the sorted labels (n is 1-2 in
+    # production — far cheaper than a second full sort)
+    size_key = jnp.where(bnd & (s < big), size, -1)
+    topsz = jax.lax.top_k(size_key, n)[0]            # (t, n) descending
+    prev_sz = jnp.full((t,), -2, jnp.int32)
+    prev_lb = jnp.full((t,), -1, jnp.int32)
+    klabs = []
+    for j in range(n):
+        szj = topsz[:, j]
+        cand = (size_key == szj[:, None]) & (
+            (szj != prev_sz)[:, None] | (s > prev_lb[:, None]))
+        lb = jnp.where(cand, s, big).min(1)          # smallest unused label
+        klabs.append(jnp.where(szj > 0, lb, big))
+        prev_sz, prev_lb = szj, lb
+    klab = jnp.stack(klabs, 1)                       # (t, n) kept labels
+    keep = (owner[..., None] == klab[:, None, None, :]) & \
+        (klab < big)[:, None, None, :]
     out = union & keep.any(-1)
     return out[:, :oh, :ow]
 

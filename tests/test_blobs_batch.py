@@ -33,3 +33,22 @@ def test_largest_blob_batch_matches():
     for i in range(5):
         np.testing.assert_array_equal(
             got[i], np.asarray(largest_blob(jnp.asarray(masks[i]))))
+
+
+def test_huge_blob_not_dropped():
+    """Regression: the old packed int32 ranking key size*(hw+1)+(hw-1-label)
+    overflowed once a blob exceeded 32767 px on a 256² frame, silently
+    dropping/misranking the biggest blobs (the production vft_parallel ROI
+    path feeds frames this large)."""
+    h = w = 256
+    masks = np.zeros((2, h, w), bool)
+    masks[0, 8:248, 8:248] = True           # 57,600-px blob (> 2^31/(hw+1))
+    masks[1, 0:200, 0:250] = True           # 50,000-px blob + a small rival
+    masks[1, 230:240, 10:30] = True
+    got = np.asarray(top_n_blobs_batch(jnp.asarray(masks), 1))
+    assert got[0].sum() == 240 * 240
+    np.testing.assert_array_equal(got[0], masks[0])
+    assert got[1].sum() == 200 * 250
+    for i in range(2):
+        want = np.asarray(top_n_blobs(jnp.asarray(masks[i]), 1))
+        np.testing.assert_array_equal(got[i], want, err_msg=f"frame {i}")
