@@ -41,23 +41,40 @@ def prefetch_to_device(items: Iterable, size: int = 2,
 
     q: queue.Queue = queue.Queue(maxsize=max(1, size))
     _END = object()
+    stop = threading.Event()  # consumer abandoned the generator
+
+    def _put(item) -> bool:
+        # bounded put + stop polling: if the consumer breaks out of the
+        # loop, a blocking q.put would wedge this thread forever and pin
+        # up to ``size`` transferred device buffers for the process life
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for it in items:
-                q.put(put(it))
+                if not _put(put(it)):
+                    return
         except BaseException as e:  # surface in consumer
-            q.put(e)
+            _put(e)
             return
-        q.put(_END)
+        _put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
 
-    while True:
-        got = q.get()
-        if got is _END:
-            return
-        if isinstance(got, BaseException):
-            raise got
-        yield got
+    try:
+        while True:
+            got = q.get()
+            if got is _END:
+                return
+            if isinstance(got, BaseException):
+                raise got
+            yield got
+    finally:
+        stop.set()  # unblock + retire the producer on early exit too

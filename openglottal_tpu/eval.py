@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openglottal_tpu.ops.histogram import masked_histogram_u8
+from openglottal_tpu.ops.histogram import otsu_threshold
 from openglottal_tpu.pipelines import GlottalPipelines
 
 PIPELINES = ["unet-only", "yolo+otsu", "yolo+unet", "yolo-crop+unet", "yolo+motion"]
@@ -52,17 +52,8 @@ def otsu_in_box_masks(gray_u8, valids, boxes):
     def one(g, v, b):
         inbox = ((rows >= b[1]) & (rows < b[3]))[:, None] & \
                 ((cols >= b[0]) & (cols < b[2]))[None, :]
-        hist = masked_histogram_u8(g, inbox)
-        n = hist.sum()
-        p = hist / jnp.maximum(n, 1.0)
-        vals = jnp.arange(256, dtype=jnp.float32)
-        w0 = jnp.cumsum(p)
-        mu = jnp.cumsum(p * vals)
-        mu_t = mu[-1]
-        denom = w0 * (1 - w0)
-        sigma = jnp.where(denom > 1e-12, (mu_t * w0 - mu) ** 2 / jnp.maximum(denom, 1e-12), -1.0)
-        thr = jnp.argmax(sigma).astype(jnp.int32)
-        return (g.astype(jnp.int32) <= thr) & inbox & v  # THRESH_BINARY_INV
+        thr = otsu_threshold(g, inbox)  # single Otsu source (ops/histogram.py)
+        return (g.astype(jnp.float32) <= thr) & inbox & v  # THRESH_BINARY_INV
 
     return jax.vmap(one)(gray_u8, valids, boxes)
 

@@ -144,8 +144,13 @@ class UNetTrainer:
         )
 
     def set_lr(self, state: TrainState, lr: float) -> TrainState:
-        opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        # pure rebuild — mutating opt_state.hyperparams in place would alias
+        # every TrainState that shares the dict (InjectHyperparamsState is a
+        # NamedTuple; _replace with a fresh dict keeps old states intact)
+        opt_state = state.opt_state._replace(hyperparams={
+            **state.opt_state.hyperparams,
+            "learning_rate": jnp.asarray(lr, jnp.float32),
+        })
         return state.replace(opt_state=opt_state)
 
     # ── fit loop (reference train_unet.py:160-213 semantics) ─────────────

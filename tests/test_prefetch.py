@@ -49,6 +49,23 @@ def test_prefetch_custom_put_and_exception():
         next(gen)
 
 
+def test_prefetch_abandoned_generator_retires_producer():
+    """Breaking out of the consumer loop must not wedge the producer thread
+    on a full queue (it would pin transferred device buffers forever)."""
+    import threading
+    import time
+
+    n_before = threading.active_count()
+    items = [np.zeros((8, 8), np.float32) for _ in range(10)]
+    gen = prefetch_to_device(items, size=1)
+    next(gen)
+    gen.close()  # GeneratorExit mid-iteration
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before, "producer thread leaked"
+
+
 def test_initialize_distributed_single_host_noop(monkeypatch):
     for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
                 "JAX_PROCESS_ID", "TPU_WORKER_HOSTNAMES"):
