@@ -50,10 +50,10 @@ def main(argv: list[str] | None = None) -> None:
                        help="YOLO confidence threshold (default from config).")
     run_p.add_argument("--stream", type=int, default=0, metavar="CHUNK",
                        help="Process the video in CHUNK-frame segments with "
-                            "bounded memory (unet / crop-unet / unet-only; "
-                            "the gate "
-                            "state carries across segments, results are "
-                            "identical to whole-video processing).")
+                            "bounded memory (all five pipelines; gate and "
+                            "tracker state carry across segments — results "
+                            "are identical to whole-video processing, for "
+                            "the trackers to their sequential forms).")
 
     bd_p = sub.add_parser("build-dataset",
                           help="Build a YOLO detection dataset from masks.")
@@ -131,9 +131,6 @@ def _cmd_run(parser: argparse.ArgumentParser, args) -> None:
     )
 
     if args.stream:
-        if args.pipeline not in ("unet", "unet-only", "crop-unet"):
-            parser.error("--stream supports the unet / crop-unet / "
-                         "unet-only pipelines.")
         from openglottal_tpu.data.video import iter_frames_bgr
 
         feats = pipe.stream_features(

@@ -102,15 +102,18 @@ def vft_step(carry, frame, p: VFTParams):
 
 
 @partial(jax.jit, static_argnames=("params",))
-def vft_scan(init_frames, frames, active=None, params: VFTParams = VFTParams()):
-    """Full VFT pass: initialize from init_frames, scan over frames.
+def vft_scan_carry(carry, frames, active=None,
+                   params: VFTParams = VFTParams()):
+    """Segment-resumable VFT scan: run a segment from an explicit carry
+    (prev, lmap, thresh) and return the updated carry — the tracker analog
+    of models/gate.gate_scan_carry, for streaming (bounded-memory) use.
+    Chained segment calls are bit-identical to one :func:`vft_scan` over the
+    concatenation (the carry IS the full tracker state).
 
-    ``active`` (T,) bool marks real frames; inactive steps (padding to a
-    bucketed length, or frames the reference skips at features.py:112-119)
-    pass the carry through untouched and emit an empty mask.
-    Returns (masks (T, H, W) bool, areas (T,) f32).
+    ``active`` (T,) bool marks real frames; inactive steps pass the carry
+    through untouched and emit an empty mask.
+    Returns (carry, (masks (T, H, W) bool, areas (T,) f32)).
     """
-    carry = vft_initialize(init_frames, params)
     if active is None:
         active = jnp.ones((frames.shape[0],), jnp.bool_)
 
@@ -121,7 +124,20 @@ def vft_scan(init_frames, frames, active=None, params: VFTParams = VFTParams()):
         m = m & a
         return c, (m, m.sum().astype(jnp.float32))
 
-    _, (masks, areas) = jax.lax.scan(step, carry, (frames, active))
+    return jax.lax.scan(step, carry, (frames, active))
+
+
+@partial(jax.jit, static_argnames=("params",))
+def vft_scan(init_frames, frames, active=None, params: VFTParams = VFTParams()):
+    """Full VFT pass: initialize from init_frames, scan over frames.
+
+    ``active`` (T,) bool marks real frames; inactive steps (padding to a
+    bucketed length, or frames the reference skips at features.py:112-119)
+    pass the carry through untouched and emit an empty mask.
+    Returns (masks (T, H, W) bool, areas (T,) f32).
+    """
+    carry = vft_initialize(init_frames, params)
+    _, (masks, areas) = vft_scan_carry(carry, frames, active, params=params)
     return masks, areas
 
 
@@ -305,15 +321,13 @@ def vft_parallel(init_frames, frames, active=None,
 
 
 @partial(jax.jit, static_argnames=("params",))
-def ygvft_scan(init_frames, first_valid, first_box, frames, valids, boxes,
-               active=None, params: YGVFTParams = YGVFTParams()):
-    """Full YOLO-guided VFT pass.
+def ygvft_scan_carry(carry, frames, valids, boxes, active=None,
+                     params: YGVFTParams = YGVFTParams()):
+    """Segment-resumable YOLO-guided VFT scan from an explicit carry
+    (prev, lmap, thresh); returns the updated carry.  Chained segment calls
+    are bit-identical to one :func:`ygvft_scan` over the concatenation.
 
-    init_frames: (N, H, W); frames: (T, H, W); valids: (T,) bool;
-    boxes: (T, 4) i32 gated YOLO boxes; ``active`` marks real (non-padding)
-    frames.  Returns (masks, areas).
-    """
-    carry = ygvft_initialize(init_frames, first_valid, first_box, params)
+    Returns (carry, (masks (T, H, W) bool, areas (T,) f32))."""
     if active is None:
         active = jnp.ones((frames.shape[0],), jnp.bool_)
 
@@ -324,5 +338,19 @@ def ygvft_scan(init_frames, first_valid, first_box, frames, valids, boxes,
         m = m & a
         return c, (m, m.sum().astype(jnp.float32))
 
-    _, (masks, areas) = jax.lax.scan(step, carry, (frames, valids, boxes, active))
+    return jax.lax.scan(step, carry, (frames, valids, boxes, active))
+
+
+@partial(jax.jit, static_argnames=("params",))
+def ygvft_scan(init_frames, first_valid, first_box, frames, valids, boxes,
+               active=None, params: YGVFTParams = YGVFTParams()):
+    """Full YOLO-guided VFT pass.
+
+    init_frames: (N, H, W); frames: (T, H, W); valids: (T,) bool;
+    boxes: (T, 4) i32 gated YOLO boxes; ``active`` marks real (non-padding)
+    frames.  Returns (masks, areas).
+    """
+    carry = ygvft_initialize(init_frames, first_valid, first_box, params)
+    _, (masks, areas) = ygvft_scan_carry(carry, frames, valids, boxes,
+                                         active, params=params)
     return masks, areas

@@ -82,8 +82,33 @@ def test_stream_unet_only_matches_batch(pipe, video):
 def test_stream_empty_and_unknown(pipe):
     assert pipe.stream_areas(iter([]), "unet").size == 0
     assert pipe.stream_features(iter([]), "unet") is None
+    assert pipe.stream_areas(iter([]), "vft").size == 0
     with pytest.raises(ValueError):
-        pipe.stream_areas(iter([]), "vft")
+        pipe.stream_areas(iter([]), "nope")
+
+
+@pytest.fixture(scope="module")
+def seq_pipe(pipe):
+    """Sequential-scan tracker forms — the bit-exactness target for
+    streaming (the frame-parallel default reassociates float sums)."""
+    return GlottalPipelines(unet_variables=pipe.unet_variables,
+                            yolo_variables=pipe.yolo_variables, conf=0.0,
+                            dtype=jnp.float32, parallel_trackers=False)
+
+
+@pytest.mark.parametrize("splits", [[9, 8, 6], [1, 1, 21], [23]])
+def test_stream_vft_matches_sequential_whole_video(seq_pipe, video, splits):
+    want = seq_pipe.vft_areas(video)
+    got = seq_pipe.stream_areas(_chunked(video, splits), "vft")
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("splits", [[9, 8, 6], [1, 1, 21], [23]])
+def test_stream_guided_vft_matches_sequential_whole_video(seq_pipe, video,
+                                                          splits):
+    want = seq_pipe.guided_vft_areas(video)
+    got = seq_pipe.stream_areas(_chunked(video, splits), "guided-vft")
+    np.testing.assert_array_equal(got, want)
 
 
 def test_iter_frames_bgr_matches_full_decode(video):
@@ -101,6 +126,41 @@ def test_iter_frames_bgr_matches_full_decode(video):
     chunks = list(iter_frames_bgr(avi, chunk=7))
     assert [len(c) for c in chunks] == [7, 7, 7, 2]
     np.testing.assert_array_equal(np.concatenate(chunks), full)
+
+
+@pytest.fixture(scope="module")
+def color_video(video):
+    """Genuinely non-monochrome frames: the whole-video paths detect these
+    on real BGR (detect_video), so streaming must too."""
+    v = video.copy()
+    v[..., 2] = np.clip(v[..., 2].astype(np.int16) + 40, 0, 255)
+    v[..., 0] = np.clip(v[..., 0].astype(np.int16) - 25, 0, 255)
+    return v
+
+
+def test_stream_color_unet_matches_batch(pipe, color_video):
+    from openglottal_tpu.pipelines import is_monochrome
+
+    assert not is_monochrome(color_video)
+    want = np.asarray(pipe.yolo_unet_areas(color_video))
+    got = pipe.stream_areas(_chunked(color_video, [9, 8, 6]), "unet")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_color_crop_unet_matches_batch(pipe, color_video):
+    pipe_c = GlottalPipelines(unet_variables=pipe.unet_variables,
+                              crop_unet_variables=pipe.unet_variables,
+                              yolo_variables=pipe.yolo_variables,
+                              conf=0.0, dtype=jnp.float32)
+    _, _, _, want = pipe_c.run_pipeline_full(color_video, "crop-unet")
+    got = pipe_c.stream_areas(_chunked(color_video, [10, 9, 4]), "crop-unet")
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_stream_rejects_non_256_chunks(pipe):
+    bad = np.zeros((4, 128, 128, 3), np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        pipe.stream_areas(iter([bad]), "unet")
 
 
 def test_stream_crop_unet_matches_batch(pipe, video):
