@@ -1,0 +1,100 @@
+"""Inference BatchNorm folding: Conv(no bias) -> BN -> act  ==>  Conv(+bias) -> act.
+
+With running statistics, BatchNorm is an affine map per channel:
+
+    y = gamma * (x - mean) / sqrt(var + eps) + beta
+      = scale * x + (beta - mean * scale),        scale = gamma / sqrt(var+eps)
+
+so it folds exactly into the preceding convolution's weights and a bias —
+the classic inference deployment transform (the reference inherits it from
+torch/ultralytics' ``model.fuse()``; here it is the TPU lever that removes
+one full HBM round-trip per conv: the conv epilogue becomes bias+activation,
+with no separate f32 normalize pass between bf16 convs).
+
+Folded variables drop into ``UNet(fuse_bn=True)`` / ``YOLOv8(fuse_bn=True)``
+unchanged: conv param names are identical, BatchNorm params disappear, and
+no ``batch_stats`` collection remains.  Numerics match the unfolded model up
+to float reassociation (pinned by tests/test_fold.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+UNET_BN_EPS = 1e-5  # models/unet.py DoubleConv
+YOLO_BN_EPS = 1e-3  # models/yolo.py ConvBNSiLU
+
+
+def _fold_tree(params: dict, stats: dict, eps: float) -> dict:
+    """Recursively fold every ``Conv_i`` with its sibling ``BatchNorm_i``.
+
+    Flax numbers autonamed children per module, so inside DoubleConv /
+    ConvBNSiLU the pairing is exactly index-matched; convs with no BN
+    sibling (logit heads, ConvTranspose upsamplers) pass through untouched.
+    """
+    out = {}
+    for k, v in params.items():
+        if k.startswith("BatchNorm_"):
+            continue  # consumed by the paired conv below
+        if isinstance(v, dict) and "kernel" in v:
+            bn_key = "BatchNorm_" + k.rsplit("_", 1)[-1]
+            if k.startswith("Conv_") and bn_key in params:
+                bn = params[bn_key]
+                st = stats[bn_key]
+                scale = bn["scale"] / jnp.sqrt(st["var"] + eps)
+                folded = {"kernel": v["kernel"] * scale,  # HWIO: O is last
+                          "bias": bn["bias"] - st["mean"] * scale}
+                if "bias" in v:  # defensive; these convs are bias-free
+                    folded["bias"] = folded["bias"] + v["bias"] * scale
+                out[k] = folded
+                continue
+            out[k] = v
+        elif isinstance(v, dict):
+            out[k] = _fold_tree(v, stats.get(k, {}), eps)
+        else:
+            out[k] = v
+    return out
+
+
+def fold_batchnorm(variables: dict, eps: float) -> dict:
+    """Fold a trained {'params', 'batch_stats'} tree for a fuse_bn=True model.
+
+    Idempotent-safe: variables without ``batch_stats`` (already folded, or a
+    BN-free model) are returned unchanged.
+    """
+    if "batch_stats" not in variables or not variables["batch_stats"]:
+        return variables
+    return {"params": _fold_tree(dict(variables["params"]),
+                                 dict(variables["batch_stats"]), eps)}
+
+
+def fold_unet(variables: dict) -> dict:
+    """Folded variables for ``UNet(fuse_bn=True)``."""
+    return fold_batchnorm(variables, UNET_BN_EPS)
+
+
+def fold_yolo(variables: dict) -> dict:
+    """Folded variables for ``YOLOv8(fuse_bn=True)``."""
+    return fold_batchnorm(variables, YOLO_BN_EPS)
+
+
+def is_folded(variables: dict) -> bool:
+    """Structural signature of a folded tree: no batch_stats and no
+    BatchNorm params anywhere, while the (bias-free when unfolded)
+    DoubleConv/ConvBNSiLU convs carry a bias."""
+    if "batch_stats" in variables and variables["batch_stats"]:
+        return False
+    leaves = []
+
+    def names(p, path=""):
+        for k, v in p.items():
+            if isinstance(v, dict):
+                names(v, path + "/" + k)
+            else:
+                leaves.append(path + "/" + k)
+
+    names(variables.get("params", {}))
+    if any("BatchNorm" in n for n in leaves):
+        return False
+    return any(n.endswith("/bias") and "/Conv_" in n
+               and ("DoubleConv" in n or "ConvBNSiLU" in n) for n in leaves)

@@ -21,22 +21,30 @@ from flax import linen as nn
 
 
 class DoubleConv(nn.Module):
-    """Two Conv3x3(no bias) -> BatchNorm -> ReLU blocks (reference unet.py:18-33)."""
+    """Two Conv3x3(no bias) -> BatchNorm -> ReLU blocks (reference unet.py:18-33).
+
+    ``fuse_bn=True`` runs the inference-folded form Conv3x3(+bias) -> ReLU
+    (BatchNorm scale/shift pre-multiplied into the conv weights by
+    models/fold.fold_batchnorm) — same math up to float reassociation, one
+    fewer HBM round-trip per conv on TPU.  Conv param names are unchanged,
+    so folded variables drop straight in."""
 
     out_ch: int
     dtype: Any = jnp.float32
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for _ in range(2):
             x = nn.Conv(
-                self.out_ch, (3, 3), padding=1, use_bias=False,
+                self.out_ch, (3, 3), padding=1, use_bias=self.fuse_bn,
                 dtype=self.dtype, param_dtype=jnp.float32,
             )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=jnp.float32,
-            )(x)
+            if not self.fuse_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=jnp.float32,
+                )(x)
             x = nn.relu(x)
         return x
 
@@ -47,17 +55,18 @@ class UNet(nn.Module):
     out_ch: int = 1
     features: Sequence[int] = (32, 64, 128, 256)
     dtype: Any = jnp.float32
+    fuse_bn: bool = False  # inference-folded BN (models/fold.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         skips = []
         for f in self.features:
-            x = DoubleConv(f, self.dtype)(x, train)
+            x = DoubleConv(f, self.dtype, self.fuse_bn)(x, train)
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
-        x = DoubleConv(self.features[-1] * 2, self.dtype)(x, train)
+        x = DoubleConv(self.features[-1] * 2, self.dtype, self.fuse_bn)(x, train)
 
         for f in reversed(self.features):
             x = nn.ConvTranspose(
@@ -70,7 +79,7 @@ class UNet(nn.Module):
                     x, (x.shape[0], s.shape[1], s.shape[2], x.shape[3]), "bilinear"
                 )
             x = jnp.concatenate([s, x.astype(s.dtype)], axis=-1)
-            x = DoubleConv(f, self.dtype)(x, train)
+            x = DoubleConv(f, self.dtype, self.fuse_bn)(x, train)
 
         return nn.Conv(self.out_ch, (1, 1), param_dtype=jnp.float32,
                        dtype=self.dtype)(x).astype(jnp.float32)

@@ -32,17 +32,19 @@ class ConvBNSiLU(nn.Module):
     kernel: int = 3
     stride: int = 1
     dtype: Any = jnp.float32
+    fuse_bn: bool = False  # inference-folded Conv(+bias)->SiLU (models/fold.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(
             self.out_ch, (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding=self.kernel // 2, use_bias=False,
+            padding=self.kernel // 2, use_bias=self.fuse_bn,
             dtype=self.dtype, param_dtype=jnp.float32,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3, dtype=jnp.float32)(x)
+        if not self.fuse_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                             epsilon=1e-3, dtype=jnp.float32)(x)
         return nn.silu(x)
 
 
@@ -50,11 +52,14 @@ class Bottleneck(nn.Module):
     out_ch: int
     shortcut: bool = True
     dtype: Any = jnp.float32
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = ConvBNSiLU(self.out_ch, 3, dtype=self.dtype)(x, train)
-        y = ConvBNSiLU(self.out_ch, 3, dtype=self.dtype)(y, train)
+        y = ConvBNSiLU(self.out_ch, 3, dtype=self.dtype,
+                       fuse_bn=self.fuse_bn)(x, train)
+        y = ConvBNSiLU(self.out_ch, 3, dtype=self.dtype,
+                       fuse_bn=self.fuse_bn)(y, train)
         if self.shortcut and x.shape[-1] == self.out_ch:
             y = x + y
         return y
@@ -67,15 +72,19 @@ class C2f(nn.Module):
     n: int = 1
     shortcut: bool = False
     dtype: Any = jnp.float32
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.out_ch // 2
-        y = ConvBNSiLU(self.out_ch, 1, dtype=self.dtype)(x, train)
+        y = ConvBNSiLU(self.out_ch, 1, dtype=self.dtype,
+                       fuse_bn=self.fuse_bn)(x, train)
         parts = [y[..., :c], y[..., c:]]
         for _ in range(self.n):
-            parts.append(Bottleneck(c, self.shortcut, dtype=self.dtype)(parts[-1], train))
-        return ConvBNSiLU(self.out_ch, 1, dtype=self.dtype)(
+            parts.append(Bottleneck(c, self.shortcut, dtype=self.dtype,
+                                    fuse_bn=self.fuse_bn)(parts[-1], train))
+        return ConvBNSiLU(self.out_ch, 1, dtype=self.dtype,
+                          fuse_bn=self.fuse_bn)(
             jnp.concatenate(parts, axis=-1), train
         )
 
@@ -84,17 +93,19 @@ class SPPF(nn.Module):
     out_ch: int
     pool_k: int = 5
     dtype: Any = jnp.float32
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.out_ch // 2
-        x = ConvBNSiLU(c, 1, dtype=self.dtype)(x, train)
+        x = ConvBNSiLU(c, 1, dtype=self.dtype, fuse_bn=self.fuse_bn)(x, train)
         p = self.pool_k // 2
         pools = [x]
         for _ in range(3):
             pools.append(nn.max_pool(pools[-1], (self.pool_k, self.pool_k),
                                      strides=(1, 1), padding=((p, p), (p, p))))
-        return ConvBNSiLU(self.out_ch, 1, dtype=self.dtype)(
+        return ConvBNSiLU(self.out_ch, 1, dtype=self.dtype,
+                          fuse_bn=self.fuse_bn)(
             jnp.concatenate(pools, axis=-1), train
         )
 
@@ -110,6 +121,7 @@ class DetectHead(nn.Module):
     nc: int = 1
     ch: Sequence[int] = (64, 128, 256)
     dtype: Any = jnp.float32
+    fuse_bn: bool = False
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
@@ -117,12 +129,16 @@ class DetectHead(nn.Module):
         c3 = max(self.ch[0], min(self.nc, 100))
         outs = []
         for i, x in enumerate(feats):
-            b = ConvBNSiLU(c2, 3, dtype=self.dtype, name=f"box{i}_0")(x, train)
-            b = ConvBNSiLU(c2, 3, dtype=self.dtype, name=f"box{i}_1")(b, train)
+            b = ConvBNSiLU(c2, 3, dtype=self.dtype, fuse_bn=self.fuse_bn,
+                           name=f"box{i}_0")(x, train)
+            b = ConvBNSiLU(c2, 3, dtype=self.dtype, fuse_bn=self.fuse_bn,
+                           name=f"box{i}_1")(b, train)
             b = nn.Conv(4 * REG_MAX, (1, 1), param_dtype=jnp.float32,
                         dtype=self.dtype, name=f"box{i}_2")(b)
-            c = ConvBNSiLU(c3, 3, dtype=self.dtype, name=f"cls{i}_0")(x, train)
-            c = ConvBNSiLU(c3, 3, dtype=self.dtype, name=f"cls{i}_1")(c, train)
+            c = ConvBNSiLU(c3, 3, dtype=self.dtype, fuse_bn=self.fuse_bn,
+                           name=f"cls{i}_0")(x, train)
+            c = ConvBNSiLU(c3, 3, dtype=self.dtype, fuse_bn=self.fuse_bn,
+                           name=f"cls{i}_1")(c, train)
             c = nn.Conv(self.nc, (1, 1), param_dtype=jnp.float32,
                         dtype=self.dtype, name=f"cls{i}_2")(c)
             outs.append((b.astype(jnp.float32), c.astype(jnp.float32)))
@@ -136,36 +152,38 @@ class YOLOv8(nn.Module):
     width: Sequence[int] = (16, 32, 64, 128, 256)  # n-scale per-stage channels
     depth: Sequence[int] = (1, 2, 2, 1)            # n-scale C2f repeats
     dtype: Any = jnp.float32
+    fuse_bn: bool = False  # inference-folded BN (models/fold.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         w = self.width
         d = self.depth
         dt = self.dtype
+        fb = self.fuse_bn
         x = x.astype(dt)
-        x = ConvBNSiLU(w[0], 3, 2, dt)(x, train)                       # P1/2
-        x = ConvBNSiLU(w[1], 3, 2, dt)(x, train)                       # P2/4
-        x = C2f(w[1], d[0], True, dt)(x, train)
-        x = ConvBNSiLU(w[2], 3, 2, dt)(x, train)                       # P3/8
-        x4 = C2f(w[2], d[1], True, dt)(x, train)
-        x = ConvBNSiLU(w[3], 3, 2, dt)(x4, train)                      # P4/16
-        x6 = C2f(w[3], d[2], True, dt)(x, train)
-        x = ConvBNSiLU(w[4], 3, 2, dt)(x6, train)                      # P5/32
-        x = C2f(w[4], d[3], True, dt)(x, train)
-        x9 = SPPF(w[4], 5, dt)(x, train)
+        x = ConvBNSiLU(w[0], 3, 2, dt, fb)(x, train)                   # P1/2
+        x = ConvBNSiLU(w[1], 3, 2, dt, fb)(x, train)                   # P2/4
+        x = C2f(w[1], d[0], True, dt, fb)(x, train)
+        x = ConvBNSiLU(w[2], 3, 2, dt, fb)(x, train)                   # P3/8
+        x4 = C2f(w[2], d[1], True, dt, fb)(x, train)
+        x = ConvBNSiLU(w[3], 3, 2, dt, fb)(x4, train)                  # P4/16
+        x6 = C2f(w[3], d[2], True, dt, fb)(x, train)
+        x = ConvBNSiLU(w[4], 3, 2, dt, fb)(x6, train)                  # P5/32
+        x = C2f(w[4], d[3], True, dt, fb)(x, train)
+        x9 = SPPF(w[4], 5, dt, fb)(x, train)
 
         x = jnp.concatenate([_upsample2x(x9), x6], axis=-1)
-        x12 = C2f(w[3], d[3], False, dt)(x, train)
+        x12 = C2f(w[3], d[3], False, dt, fb)(x, train)
         x = jnp.concatenate([_upsample2x(x12), x4], axis=-1)
-        p3 = C2f(w[2], d[3], False, dt)(x, train)
-        x = ConvBNSiLU(w[2], 3, 2, dt)(p3, train)
+        p3 = C2f(w[2], d[3], False, dt, fb)(x, train)
+        x = ConvBNSiLU(w[2], 3, 2, dt, fb)(p3, train)
         x = jnp.concatenate([x, x12], axis=-1)
-        p4 = C2f(w[3], d[3], False, dt)(x, train)
-        x = ConvBNSiLU(w[3], 3, 2, dt)(p4, train)
+        p4 = C2f(w[3], d[3], False, dt, fb)(x, train)
+        x = ConvBNSiLU(w[3], 3, 2, dt, fb)(p4, train)
         x = jnp.concatenate([x, x9], axis=-1)
-        p5 = C2f(w[4], d[3], False, dt)(x, train)
+        p5 = C2f(w[4], d[3], False, dt, fb)(x, train)
 
-        return DetectHead(self.nc, (w[2], w[3], w[4]), dt)(
+        return DetectHead(self.nc, (w[2], w[3], w[4]), dt, fb)(
             [p3, p4, p5], train
         )
 

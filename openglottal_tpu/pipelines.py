@@ -28,10 +28,14 @@ from openglottal_tpu.models.gate import GateParams, gate_scan
 from openglottal_tpu.models.tracker import (
     VFTParams,
     YGVFTParams,
+    vft_initialize,
     vft_parallel,
     vft_scan,
+    vft_scan_carry,
+    ygvft_initialize,
     ygvft_parallel,
     ygvft_scan,
+    ygvft_scan_carry,
 )
 from openglottal_tpu.models.unet import UNet
 from openglottal_tpu.models.yolo import YOLOv8, max_conf_detect
@@ -46,6 +50,12 @@ from openglottal_tpu.ops.resize import (
 VFT_INIT = 2    # reference features.py:31
 YGVFT_INIT = 2  # reference features.py:32
 CHUNK = 128     # frame-chunk size for batched model passes
+
+# jitted tracker initializers for the streaming paths (the raw functions are
+# trace-level; calling them eagerly would dispatch op-by-op through the TPU
+# tunnel)
+_vft_init_jit = partial(jax.jit, static_argnames=("p",))(vft_initialize)
+_ygvft_init_jit = partial(jax.jit, static_argnames=("p",))(ygvft_initialize)
 
 
 def to_device(x):
@@ -70,38 +80,53 @@ def _bucket(t: int, chunk: int = CHUNK) -> int:
     return max(chunk, ((t + chunk - 1) // chunk) * chunk)
 
 
-@partial(jax.jit, static_argnames=("dtype",))
-def _unet_chunk(variables, gray_u8, dtype=jnp.bfloat16):
+def _require_256(gray):
+    """Streaming contract: chunks arrive at the models' native 256² (the
+    whole-video paths letterbox other sizes through 256², so silently running
+    native-size models here would diverge).  Returns (h, w)."""
+    h, w = gray.shape[1:3]
+    if (h, w) != (256, 256):
+        raise ValueError(
+            f"streaming expects 256² chunks, got {(h, w)} — letterbox the "
+            f"chunks first (ops/resize.letterbox), as the whole-video paths "
+            f"do internally")
+    return h, w
+
+
+@partial(jax.jit, static_argnames=("dtype", "fuse"))
+def _unet_chunk(variables, gray_u8, dtype=jnp.bfloat16, fuse: bool = False):
     """U-Net on a chunk of 256² grayscale frames -> boolean masks.
 
     Equivalent to per-frame unet_segment_frame (utils.py:218-241) for frames
     already at 256²; callers resize otherwise.
     """
-    model = UNet(dtype=dtype)
+    model = UNet(dtype=dtype, fuse_bn=fuse)
     x = (gray_u8.astype(jnp.float32) / 255.0)[..., None]
     logits = model.apply(variables, x, train=False)
     return jax.nn.sigmoid(logits[..., 0]) > 0.5
 
 
-@partial(jax.jit, static_argnames=("conf", "dtype"))
-def _yolo_chunk(variables, bgr_u8, conf: float = 0.25, dtype=jnp.bfloat16):
+@partial(jax.jit, static_argnames=("conf", "dtype", "fuse"))
+def _yolo_chunk(variables, bgr_u8, conf: float = 0.25, dtype=jnp.bfloat16,
+                fuse: bool = False):
     """YOLO max-conf detection on a chunk of 256² BGR frames."""
-    model = YOLOv8(nc=1, dtype=dtype)
+    model = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
     x = bgr_u8[..., ::-1].astype(jnp.float32) / 255.0
     outs = model.apply(variables, x, train=False)
     h, w = x.shape[1:3]
     return max_conf_detect(outs, h, w, conf)
 
 
-@partial(jax.jit, static_argnames=("conf", "dtype"))
-def _yolo_chunk_gray(variables, gray_u8, conf: float = 0.25, dtype=jnp.bfloat16):
+@partial(jax.jit, static_argnames=("conf", "dtype", "fuse"))
+def _yolo_chunk_gray(variables, gray_u8, conf: float = 0.25,
+                     dtype=jnp.bfloat16, fuse: bool = False):
     """YOLO on monochrome frames: channels replicated on DEVICE.
 
     High-speed endoscopy video is monochrome (4000 fps cameras;
     paper/main.tex:285-287), so the host->HBM transfer — the pipeline's real
     bottleneck through the TPU tunnel — only needs one channel.  Bit-identical
     to the BGR path when all three input channels are equal."""
-    model = YOLOv8(nc=1, dtype=dtype)
+    model = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
     x = (gray_u8.astype(jnp.float32) / 255.0)[..., None]
     x = jnp.broadcast_to(x, x.shape[:3] + (3,))
     outs = model.apply(variables, x, train=False)
@@ -109,9 +134,10 @@ def _yolo_chunk_gray(variables, gray_u8, conf: float = 0.25, dtype=jnp.bfloat16)
     return max_conf_detect(outs, h, w, conf)
 
 
-@partial(jax.jit, static_argnames=("conf", "dtype", "gate_params"))
+@partial(jax.jit, static_argnames=("conf", "dtype", "gate_params", "fuse"))
 def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
-                           conf: float, dtype, gate_params: GateParams):
+                           conf: float, dtype, gate_params: GateParams,
+                           fuse: bool = False):
     """ONE dispatch for the whole video -> area waveform (YOLO+UNet path).
 
     gray_u8: (T_pad, 256, 256) uint8, T_pad a multiple of CHUNK.  Chunks run
@@ -124,8 +150,8 @@ def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
     h, w = gray_u8.shape[1:]
     chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
 
-    unet = UNet(dtype=dtype)
-    yolo = YOLOv8(nc=1, dtype=dtype)
+    unet = UNet(dtype=dtype, fuse_bn=fuse)
+    yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
 
     def per_chunk(g):
         x = (g.astype(jnp.float32) / 255.0)[..., None]
@@ -144,14 +170,44 @@ def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
     return _box_area_sums(masks, valid, boxes)
 
 
-@partial(jax.jit, static_argnames=("conf", "dtype"))
-def _stream_yolo_chunk(yolo_variables, gray_u8, conf: float, dtype):
+@partial(jax.jit, static_argnames=("conf", "dtype", "gate_params", "fuse"))
+def _sharded_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
+                             conf: float, dtype, gate_params: GateParams,
+                             fuse: bool = False):
+    """Mesh form of :func:`_fused_yolo_unet_video`: the whole (T_pad, 256,
+    256) video as ONE batched pass with the frame axis sharded over the
+    mesh's ``data`` axis (callers device_put the input with a
+    ``P("data")`` NamedSharding; params replicated).
+
+    The single-chip fused path bounds HBM by serializing CHUNK-frame slices
+    under ``lax.map`` — under a mesh that would serialize the *shards* too,
+    so here the full frame axis runs as one partitioned batch (per-device
+    activations = T_pad/n_dev frames) and XLA all-gathers only the tiny
+    (T,) per-frame summaries for the gate scan.
+    """
+    t_pad, h, w = gray_u8.shape
+    unet = UNet(dtype=dtype, fuse_bn=fuse)
+    yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
+    x = (gray_u8.astype(jnp.float32) / 255.0)[..., None]
+    masks = jax.nn.sigmoid(
+        unet.apply(unet_variables, x, train=False)[..., 0]) > 0.5
+    x3 = jnp.broadcast_to(x, x.shape[:3] + (3,))
+    outs = yolo.apply(yolo_variables, x3, train=False)
+    has, raw, _ = max_conf_detect(outs, h, w, conf)
+    has = has & (jnp.arange(t_pad) < t_real)
+    valid, boxes = gate_scan(has, raw, h, w, params=gate_params)
+    return _box_area_sums(masks, valid, boxes)
+
+
+@partial(jax.jit, static_argnames=("conf", "dtype", "fuse"))
+def _stream_yolo_chunk(yolo_variables, gray_u8, conf: float, dtype,
+                       fuse: bool = False):
     """YOLO-only per-segment detections for the streaming crop-unet path:
     (has (T_pad,), raw boxes (T_pad, 4)) for a (T_pad, 256, 256) segment."""
     t_pad = gray_u8.shape[0]
     h, w = gray_u8.shape[1:]
     chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
-    yolo = YOLOv8(nc=1, dtype=dtype)
+    yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
 
     def per_chunk(g):
         x = (g.astype(jnp.float32) / 255.0)[..., None]
@@ -164,9 +220,48 @@ def _stream_yolo_chunk(yolo_variables, gray_u8, conf: float, dtype):
     return has.reshape(t_pad), raw.reshape(t_pad, 4)
 
 
-@partial(jax.jit, static_argnames=("conf", "dtype"))
+@partial(jax.jit, static_argnames=("conf", "dtype", "fuse"))
+def _stream_yolo_chunk_bgr(yolo_variables, bgr_u8, conf: float, dtype,
+                           fuse: bool = False):
+    """BGR variant of :func:`_stream_yolo_chunk` for color sources: the
+    whole-video paths detect on the real BGR frames (``detect_video``), so
+    color streaming must too to stay bit-identical."""
+    t_pad = bgr_u8.shape[0]
+    h, w = bgr_u8.shape[1:3]
+    chunks = bgr_u8.reshape(t_pad // CHUNK, CHUNK, h, w, 3)
+    yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
+
+    def per_chunk(f):
+        x = f[..., ::-1].astype(jnp.float32) / 255.0
+        outs = yolo.apply(yolo_variables, x, train=False)
+        has, box, _ = max_conf_detect(outs, h, w, conf)
+        return has, box
+
+    has, raw = jax.lax.map(per_chunk, chunks)
+    return has.reshape(t_pad), raw.reshape(t_pad, 4)
+
+
+@partial(jax.jit, static_argnames=("dtype", "fuse"))
+def _stream_unet_masks_chunk(unet_variables, gray_u8, dtype,
+                             fuse: bool = False):
+    """U-Net masks only, for streaming segments whose detections come from
+    the BGR path (color sources)."""
+    t_pad = gray_u8.shape[0]
+    h, w = gray_u8.shape[1:]
+    chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
+    unet = UNet(dtype=dtype, fuse_bn=fuse)
+
+    def per_chunk(g):
+        x = (g.astype(jnp.float32) / 255.0)[..., None]
+        return jax.nn.sigmoid(
+            unet.apply(unet_variables, x, train=False)[..., 0]) > 0.5
+
+    return jax.lax.map(per_chunk, chunks).reshape(t_pad, h, w)
+
+
+@partial(jax.jit, static_argnames=("conf", "dtype", "fuse"))
 def _stream_yolo_unet_chunk(unet_variables, yolo_variables, gray_u8,
-                            conf: float, dtype):
+                            conf: float, dtype, fuse: bool = False):
     """Stateless per-segment compute for the streaming path: U-Net masks +
     raw max-conf detections for a (T_pad, 256, 256) uint8 segment (T_pad a
     multiple of CHUNK; lax.map bounds HBM).  The order-dependent gate runs
@@ -174,8 +269,8 @@ def _stream_yolo_unet_chunk(unet_variables, yolo_variables, gray_u8,
     t_pad = gray_u8.shape[0]
     h, w = gray_u8.shape[1:]
     chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
-    unet = UNet(dtype=dtype)
-    yolo = YOLOv8(nc=1, dtype=dtype)
+    unet = UNet(dtype=dtype, fuse_bn=fuse)
+    yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
 
     def per_chunk(g):
         x = (g.astype(jnp.float32) / 255.0)[..., None]
@@ -191,14 +286,15 @@ def _stream_yolo_unet_chunk(unet_variables, yolo_variables, gray_u8,
             raw.reshape(t_pad, 4))
 
 
-@partial(jax.jit, static_argnames=("dtype",))
-def _fused_unet_only_video(unet_variables, gray_u8, dtype):
+@partial(jax.jit, static_argnames=("dtype", "fuse"))
+def _fused_unet_only_video(unet_variables, gray_u8, dtype,
+                           fuse: bool = False):
     """ONE dispatch: whole monochrome 256² video -> full-frame area waveform
     (pipeline 5).  Chunks under lax.map for bounded HBM."""
     t_pad = gray_u8.shape[0]
     h, w = gray_u8.shape[1:]
     chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
-    unet = UNet(dtype=dtype)
+    unet = UNet(dtype=dtype, fuse_bn=fuse)
 
     def per_chunk(g):
         x = (g.astype(jnp.float32) / 255.0)[..., None]
@@ -219,8 +315,9 @@ def is_monochrome(frames_np) -> bool:
     return bool((f[..., 0] == f[..., 1]).all() and (f[..., 1] == f[..., 2]).all())
 
 
-@partial(jax.jit, static_argnames=("dtype",))
-def _crop_unet_chunk(variables, gray_u8, valids, boxes, dtype=jnp.bfloat16):
+@partial(jax.jit, static_argnames=("dtype", "fuse"))
+def _crop_unet_chunk(variables, gray_u8, valids, boxes, dtype=jnp.bfloat16,
+                     fuse: bool = False):
     """Crop pipeline on a chunk: crop each gated box, letterbox to 256²
     (nearest — the reference letterboxes 2-D arrays with INTER_NEAREST,
     utils.py:80,117), run the crop-trained U-Net, project the mask back into
@@ -229,7 +326,7 @@ def _crop_unet_chunk(variables, gray_u8, valids, boxes, dtype=jnp.bfloat16):
     gray_u8: (C, H, W); valids: (C,); boxes: (C, 4) i32.
     Returns full-frame boolean masks (C, H, W).
     """
-    model = UNet(dtype=dtype)
+    model = UNet(dtype=dtype, fuse_bn=fuse)
     h, w = gray_u8.shape[1:]
     x1, y1 = boxes[:, 0], boxes[:, 1]
     ch = boxes[:, 3] - boxes[:, 1]
@@ -306,7 +403,28 @@ class GlottalPipelines:
                  vft_params: VFTParams = VFTParams(),
                  ygvft_params: YGVFTParams = YGVFTParams(),
                  dtype=jnp.bfloat16, mesh=None,
-                 parallel_trackers: bool = True):
+                 parallel_trackers: bool = True, fold_bn: bool = True):
+        # inference BatchNorm folding (models/fold.py): scale/shift
+        # pre-multiplied into conv weights — one fewer HBM round-trip per
+        # conv on TPU, numerics equal up to float reassociation.  Applied
+        # only when every provided model still carries batch_stats (training
+        # checkpoints); pass fold_bn=False to run the unfolded graphs.
+        from openglottal_tpu.models.fold import fold_unet, fold_yolo, is_folded
+
+        provided = [v for v in (unet_variables, crop_unet_variables,
+                                yolo_variables) if v is not None]
+        if provided and all(is_folded(v) for v in provided):
+            self._fuse = True  # already-folded checkpoints drop straight in
+        else:
+            self._fuse = bool(fold_bn and provided
+                              and all("batch_stats" in v for v in provided))
+            if self._fuse:
+                if unet_variables is not None:
+                    unet_variables = fold_unet(unet_variables)
+                if crop_unet_variables is not None:
+                    crop_unet_variables = fold_unet(crop_unet_variables)
+                if yolo_variables is not None:
+                    yolo_variables = fold_yolo(yolo_variables)
         self.unet_variables = unet_variables
         self.crop_unet_variables = crop_unet_variables
         self.yolo_variables = yolo_variables
@@ -340,6 +458,23 @@ class GlottalPipelines:
 
     # ── chunked model passes ──────────────────────────────────────────────
 
+    def _seg_bucket(self, t: int, base: int = CHUNK) -> int:
+        """Padded frame-axis length for one dispatch: a multiple of ``base``
+        and, under a mesh, of the data-axis size (sharding divisibility)."""
+        b = _bucket(t, base)
+        if self.mesh is not None:
+            k = self.mesh.shape["data"]
+            b += (-b) % k
+        return b
+
+    def _seg_put(self, x, t: int, base: int = CHUNK):
+        """Pad the frame axis to :meth:`_seg_bucket` and, under a mesh,
+        shard it over ``data``."""
+        x = _pad_to(x, self._seg_bucket(t, base))
+        if self._chunk_spec is not None:
+            x = jax.device_put(x, self._chunk_spec)
+        return x
+
     def _chunked(self, fn, *arrays):
         t = arrays[0].shape[0]
         outs = []
@@ -359,7 +494,7 @@ class GlottalPipelines:
         """(T, 256, 256, 3) BGR -> (has (T,), raw_boxes (T,4) f32, conf (T,))."""
         return self._chunked(
             lambda x: _yolo_chunk(self.yolo_variables, x, conf=self.conf,
-                                  dtype=self.dtype),
+                                  dtype=self.dtype, fuse=self._fuse),
             to_device(frames_bgr_u8),
         )
 
@@ -368,7 +503,7 @@ class GlottalPipelines:
         replicated on device; exact for equal-channel sources)."""
         return self._chunked(
             lambda x: _yolo_chunk_gray(self.yolo_variables, x, conf=self.conf,
-                                       dtype=self.dtype),
+                                       dtype=self.dtype, fuse=self._fuse),
             to_device(gray_u8),
         )
 
@@ -444,14 +579,16 @@ class GlottalPipelines:
                 lambda g: resize_bilinear(g.astype(jnp.float32), 256, 256), gray
             )
             probs = self._chunked(
-                lambda g: _unet_probs_chunk(self.unet_variables, g, self.dtype), x
+                lambda g: _unet_probs_chunk(self.unet_variables, g, self.dtype,
+                                            fuse=self._fuse), x
             )
             back = self._chunked(
                 lambda p: resize_bilinear(p, h, w), probs
             )
             return back > 0.5
         return self._chunked(
-            lambda g: _unet_chunk(self.unet_variables, g, dtype=self.dtype), gray
+            lambda g: _unet_chunk(self.unet_variables, g, dtype=self.dtype,
+                                  fuse=self._fuse), gray
         )
 
     def gated_boxes(self, frames_bgr_u8, sequential: bool = True):
@@ -470,8 +607,16 @@ class GlottalPipelines:
         gray = to_device(gray_u8)
         t, h, w = gray.shape
         if (h, w) == (256, 256):
+            if self._chunk_spec is not None:
+                # mesh: one frame-sharded batched pass (lax.map chunking
+                # would serialize the shards)
+                masks = _unet_chunk(self.unet_variables,
+                                    self._seg_put(gray, t), dtype=self.dtype,
+                                    fuse=self._fuse)
+                return masks[:t].sum((1, 2)).astype(jnp.float32)
             return _fused_unet_only_video(
-                self.unet_variables, _pad_to(gray, _bucket(t)), self.dtype)[:t]
+                self.unet_variables, _pad_to(gray, _bucket(t)), self.dtype,
+                fuse=self._fuse)[:t]
         masks = self.segment_video(gray)
         return masks.sum((1, 2)).astype(jnp.float32)
 
@@ -492,11 +637,17 @@ class GlottalPipelines:
         gray = to_device(gray_u8)
         t, h, w = gray.shape
         if (h, w) == (256, 256):
+            if self._chunk_spec is not None:
+                return _sharded_yolo_unet_video(
+                    self.unet_variables, self.yolo_variables,
+                    self._seg_put(gray, t), jnp.int32(t),
+                    conf=self.conf, dtype=self.dtype,
+                    gate_params=self.gate_params, fuse=self._fuse)[:t]
             return _fused_yolo_unet_video(
                 self.unet_variables, self.yolo_variables,
                 _pad_to(gray, _bucket(t)), jnp.int32(t),
                 conf=self.conf, dtype=self.dtype,
-                gate_params=self.gate_params)[:t]
+                gate_params=self.gate_params, fuse=self._fuse)[:t]
         masks = self.segment_video(gray)
         valid, boxes = self._gated(None, gray)
         return _box_area_sums(masks, valid, boxes)
@@ -512,7 +663,8 @@ class GlottalPipelines:
             valid, boxes = self._gated(frames_dev, gray)
         return self._chunked(
             lambda g, v, b: _crop_unet_chunk(self.crop_unet_variables, g, v, b,
-                                             dtype=self.dtype),
+                                             dtype=self.dtype,
+                                             fuse=self._fuse),
             gray, valid, boxes,
         ), valid, boxes
 
@@ -537,7 +689,7 @@ class GlottalPipelines:
         if w0 <= 0 or h0 <= 0:
             return areas, None, idx, (0, 0)
         n = len(idx)
-        n_pad = _bucket(n, 64)
+        n_pad = self._seg_bucket(n, 64)
         sel = jnp.asarray(np.pad(idx, (0, n_pad - n), constant_values=idx[-1]))
         crops = _gather_crops(gray[sel], jnp.asarray(
             np.pad(boxes_np[idx], ((0, n_pad - n), (0, 0)), constant_values=1)
@@ -545,6 +697,12 @@ class GlottalPipelines:
         active = jnp.asarray(np.arange(n_pad) >= VFT_INIT) & jnp.asarray(
             np.arange(n_pad) < n
         )
+        if self._chunk_spec is not None and self.parallel_trackers:
+            # frame-shard the parallel tracker over the mesh (the batched
+            # blur/blob/percentile stages partition; the associative lmap
+            # prefix and the scalar thresh chain ride XLA collectives)
+            crops = jax.device_put(crops, self._chunk_spec)
+            active = jax.device_put(active, self._chunk_spec)
         fn = vft_parallel if self.parallel_trackers else vft_scan
         cmasks, areas_v = fn(crops[:VFT_INIT], crops, active,
                              params=self.vft_params)
@@ -579,12 +737,21 @@ class GlottalPipelines:
         vnp = np.asarray(valid[:YGVFT_INIT])
         fi = int(np.argmax(vnp)) if vnp.any() else 0
         n = t - YGVFT_INIT
-        n_pad = _bucket(n, 64)
+        n_pad = self._seg_bucket(n, 64)
+        frames_t = _pad_to(g32[YGVFT_INIT:], n_pad)
+        valids_t = _pad_to(valid[YGVFT_INIT:], n_pad)
+        boxes_t = _pad_to(boxes[YGVFT_INIT:], n_pad)
+        active_t = jnp.arange(n_pad) < n
+        if self._chunk_spec is not None and self.parallel_trackers:
+            # frame-shard the parallel tracker over the mesh
+            frames_t = jax.device_put(frames_t, self._chunk_spec)
+            valids_t = jax.device_put(valids_t, self._chunk_spec)
+            boxes_t = jax.device_put(boxes_t, self._chunk_spec)
+            active_t = jax.device_put(active_t, self._chunk_spec)
         fn = ygvft_parallel if self.parallel_trackers else ygvft_scan
         masks_v, areas_v = fn(
             g32[:YGVFT_INIT], jnp.asarray(bool(vnp.any())), boxes[fi],
-            _pad_to(g32[YGVFT_INIT:], n_pad), _pad_to(valid[YGVFT_INIT:], n_pad),
-            _pad_to(boxes[YGVFT_INIT:], n_pad), jnp.arange(n_pad) < n,
+            frames_t, valids_t, boxes_t, active_t,
             params=self.ygvft_params)
         areas = np.zeros(t, np.float32)
         areas[YGVFT_INIT:] = np.asarray(areas_v)[:n]
@@ -683,35 +850,49 @@ class GlottalPipelines:
         ``data.video.iter_frames_bgr(path)``), transfers are double-buffered
         ahead of compute, and only the scalar waveform accumulates on host.
 
-        Pipelines: "unet" (YOLO+UNet), "crop-unet", and "unet-only" — every
-        stage is stateless per frame except the gate FSM, whose state is
-        carried across segment boundaries (gate_scan_carry), so results are
-        bit-identical to the whole-video paths.
+        Pipelines: "unet" (YOLO+UNet), "crop-unet", "unet-only", and the
+        motion trackers "vft" / "guided-vft".  Every stateless stage is
+        per-frame; recurrent state (gate FSM, tracker EMA carries) is carried
+        across segment boundaries (gate_scan_carry / *_scan_carry), so
+        results are bit-identical to the whole-video paths — for the
+        trackers, to the *sequential* whole-video forms
+        (``GlottalPipelines(parallel_trackers=False)``; the frame-parallel
+        default reassociates float sums across the video, a documented
+        ~ulp-level divergence).  Color chunks detect on the real BGR frames
+        (like ``detect_video``); monochrome chunks stream a single channel.
+        Chunks must be 256² (the whole-video paths letterbox other sizes —
+        pre-letterbox before streaming).
         """
+        if pipeline in ("vft", "guided-vft"):
+            return self._stream_tracker_areas(chunks, pipeline, prefetch)
         if pipeline not in ("unet", "unet-only", "crop-unet"):
             raise ValueError(
-                f"stream_areas supports 'unet', 'crop-unet' and 'unet-only', "
-                f"got {pipeline!r} (the motion trackers' EMA recurrences "
-                f"reassociate under segmentation — use the whole-video API)")
+                f"unknown streaming pipeline {pipeline!r} (supported: unet, "
+                f"crop-unet, unet-only, vft, guided-vft)")
         from openglottal_tpu.data.prefetch import prefetch_to_device
         from openglottal_tpu.models.gate import gate_init, gate_scan_carry
 
         state = gate_init()
         areas = []
-        for _, gray in prefetch_to_device(chunks, size=prefetch,
-                                          put=self._prepare):
+        for frames_dev, gray in prefetch_to_device(chunks, size=prefetch,
+                                                   put=self._prepare):
             t_c = int(gray.shape[0])
             if t_c == 0:
                 continue
-            h, w = gray.shape[1:3]
-            g = _pad_to(gray, _bucket(t_c))
+            h, w = _require_256(gray)
+            g = self._seg_put(gray, t_c)
             if pipeline == "unet-only":
-                a = _fused_unet_only_video(self.unet_variables, g, self.dtype)
+                if self._chunk_spec is not None:
+                    m = _unet_chunk(self.unet_variables, g, dtype=self.dtype,
+                                    fuse=self._fuse)
+                    areas.append(m[:t_c].sum((1, 2)).astype(jnp.float32))
+                    continue
+                a = _fused_unet_only_video(self.unet_variables, g, self.dtype,
+                                           fuse=self._fuse)
                 areas.append(a[:t_c])
                 continue
             if pipeline == "crop-unet":
-                has, raw = _stream_yolo_chunk(self.yolo_variables, g,
-                                              conf=self.conf, dtype=self.dtype)
+                has, raw = self._stream_detect(frames_dev, g, t_c)
                 state, (valid, boxes) = gate_scan_carry(
                     state, has[:t_c], raw[:t_c], h, w,
                     params=self.gate_params)
@@ -719,9 +900,22 @@ class GlottalPipelines:
                                                    valid=valid, boxes=boxes)
                 areas.append(masks.sum((1, 2)).astype(jnp.float32))
                 continue
-            masks, has, raw = _stream_yolo_unet_chunk(
-                self.unet_variables, self.yolo_variables, g,
-                conf=self.conf, dtype=self.dtype)
+            if frames_dev is not None or self._chunk_spec is not None:
+                # color source: detect on real BGR frames (bit-identical to
+                # the whole-video detect_video path), segment on gray.
+                # mesh: full-batch sharded passes (no lax.map serialization)
+                has, raw = self._stream_detect(frames_dev, g, t_c)
+                if self._chunk_spec is not None:
+                    masks = _unet_chunk(self.unet_variables, g,
+                                        dtype=self.dtype, fuse=self._fuse)
+                else:
+                    masks = _stream_unet_masks_chunk(self.unet_variables, g,
+                                                     dtype=self.dtype,
+                                                     fuse=self._fuse)
+            else:
+                masks, has, raw = _stream_yolo_unet_chunk(
+                    self.unet_variables, self.yolo_variables, g,
+                    conf=self.conf, dtype=self.dtype, fuse=self._fuse)
             state, (valid, boxes) = gate_scan_carry(
                 state, has[:t_c], raw[:t_c], h, w, params=self.gate_params)
             # keep per-segment waveforms on device: converting here would
@@ -730,6 +924,131 @@ class GlottalPipelines:
         if not areas:
             return np.zeros((0,), np.float32)
         return np.concatenate([np.asarray(a) for a in areas])
+
+    def _stream_detect(self, frames_dev, g_pad, t_c: int):
+        """Per-segment raw detections (has, raw) on the padded frame axis;
+        color segments detect on the real BGR frames like ``detect_video``.
+        Under a mesh the full-batch (sharded) chunk fns run instead of the
+        lax.map forms, which would serialize the shards."""
+        if frames_dev is not None:
+            if self._chunk_spec is not None:
+                has, raw, _ = _yolo_chunk(
+                    self.yolo_variables, self._seg_put(frames_dev, t_c),
+                    conf=self.conf, dtype=self.dtype, fuse=self._fuse)
+                return has, raw
+            return _stream_yolo_chunk_bgr(
+                self.yolo_variables, _pad_to(frames_dev, _bucket(t_c)),
+                conf=self.conf, dtype=self.dtype, fuse=self._fuse)
+        if self._chunk_spec is not None:
+            has, raw, _ = _yolo_chunk_gray(self.yolo_variables, g_pad,
+                                           conf=self.conf, dtype=self.dtype,
+                                           fuse=self._fuse)
+            return has, raw
+        return _stream_yolo_chunk(self.yolo_variables, g_pad,
+                                  conf=self.conf, dtype=self.dtype,
+                                  fuse=self._fuse)
+
+    def _stream_tracker_areas(self, chunks, pipeline: str,
+                              prefetch: int) -> np.ndarray:
+        """Streaming motion trackers via the segment-resumable sequential
+        scans (models/tracker.vft_scan_carry / ygvft_scan_carry) — the
+        tracker analog of gate_scan_carry.  Bit-identical to the sequential
+        whole-video forms; the reference has no streaming at all
+        (utils.py:43-54 loads whole videos into RAM).
+
+        vft: the crop size locks at the FIRST gated box ever seen
+        (features.py:124-127); the first VFT_INIT valid crops seed the
+        tracker and contribute zero area; box-less frames pass no state.
+        guided-vft: the first YGVFT_INIT frames seed the tracker
+        (features.py:169-181) and contribute zero area.
+        """
+        from openglottal_tpu.data.prefetch import prefetch_to_device
+        from openglottal_tpu.models.gate import gate_init, gate_scan_carry
+
+        vft = pipeline == "vft"
+        state = gate_init()
+        carry = None
+        lock: tuple | str | None = None   # vft crop size (h0, w0) | "dead"
+        init_crops: list = []             # vft: first VFT_INIT valid crops
+        init_frames: list = []            # ygvft: first YGVFT_INIT frames
+        init_meta: list = []              # ygvft: their (valid, box)
+        areas: list = []
+        for frames_dev, gray in prefetch_to_device(chunks, size=prefetch,
+                                                   put=self._prepare):
+            t_c = int(gray.shape[0])
+            if t_c == 0:
+                continue
+            h, w = _require_256(gray)
+            g = self._seg_put(gray, t_c)
+            has, raw = self._stream_detect(frames_dev, g, t_c)
+            state, (valid, boxes) = gate_scan_carry(
+                state, has[:t_c], raw[:t_c], h, w, params=self.gate_params)
+            a_seg = np.zeros(t_c, np.float32)
+            if vft:
+                vnp = np.asarray(valid)
+                bnp = np.asarray(boxes)
+                idx = np.nonzero(vnp)[0]
+                if lock is None and idx.size:
+                    b0 = bnp[idx[0]]
+                    w0, h0 = int(b0[2] - b0[0]), int(b0[3] - b0[1])
+                    lock = (h0, w0) if (w0 > 0 and h0 > 0) else "dead"
+                if idx.size == 0 or lock in (None, "dead"):
+                    areas.append(a_seg)
+                    continue
+                h0, w0 = lock
+                n = len(idx)
+                n_pad = _bucket(n, 64)
+                sel = jnp.asarray(np.pad(idx, (0, n_pad - n),
+                                         constant_values=idx[-1]))
+                crops = _gather_crops(gray[sel], jnp.asarray(
+                    np.pad(bnp[idx], ((0, n_pad - n), (0, 0)),
+                           constant_values=1)), h0, w0)
+                k = 0
+                if carry is None:
+                    take = min(VFT_INIT - len(init_crops), n)
+                    init_crops.extend(crops[j] for j in range(take))
+                    k = take
+                    if len(init_crops) == VFT_INIT:
+                        carry = _vft_init_jit(jnp.stack(init_crops),
+                                              p=self.vft_params)
+                if carry is not None and k < n:
+                    m = n - k
+                    m_pad = _bucket(m, 64)
+                    seg = _pad_to(crops[k:k + m], m_pad)
+                    act = jnp.asarray(np.arange(m_pad) < m)
+                    carry, (_, areas_v) = vft_scan_carry(
+                        carry, seg, act, params=self.vft_params)
+                    a_seg[idx[k:]] = np.asarray(areas_v)[:m]
+                areas.append(a_seg)
+                continue
+            # guided-vft
+            g32 = gray.astype(jnp.float32)
+            start = 0
+            if carry is None:
+                take = min(YGVFT_INIT - len(init_frames), t_c)
+                init_frames.extend(g32[j] for j in range(take))
+                init_meta.extend((valid[j], boxes[j]) for j in range(take))
+                start = take
+                if len(init_frames) == YGVFT_INIT:
+                    vnp = np.asarray(jnp.stack([v for v, _ in init_meta]))
+                    fi = int(np.argmax(vnp)) if vnp.any() else 0
+                    carry = _ygvft_init_jit(
+                        jnp.stack(init_frames), jnp.asarray(bool(vnp.any())),
+                        init_meta[fi][1], p=self.ygvft_params)
+            if carry is not None and start < t_c:
+                m = t_c - start
+                m_pad = _bucket(m, 64)
+                act = jnp.asarray(np.arange(m_pad) < m)
+                carry, (_, areas_v) = ygvft_scan_carry(
+                    carry, _pad_to(g32[start:], m_pad),
+                    _pad_to(valid[start:], m_pad),
+                    _pad_to(boxes[start:], m_pad), act,
+                    params=self.ygvft_params)
+                a_seg[start:] = np.asarray(areas_v)[:m]
+            areas.append(a_seg)
+        if not areas:
+            return np.zeros((0,), np.float32)
+        return np.concatenate(areas)
 
     def stream_features(self, chunks, pipeline: str = "unet"):
         """Kinematic features from a chunk stream; None on empty or silent
@@ -763,11 +1082,12 @@ class GlottalPipelines:
         return kinematic_features(areas)
 
 
-@partial(jax.jit, static_argnames=("dtype",))
-def _unet_probs_chunk(variables, gray01_256, dtype=jnp.bfloat16):
+@partial(jax.jit, static_argnames=("dtype", "fuse"))
+def _unet_probs_chunk(variables, gray01_256, dtype=jnp.bfloat16,
+                      fuse: bool = False):
     """U-Net probabilities on already-resized (C, 256, 256) float frames
     (pixel range 0..255)."""
-    model = UNet(dtype=dtype)
+    model = UNet(dtype=dtype, fuse_bn=fuse)
     x = (gray01_256.astype(jnp.float32) / 255.0)[..., None]
     logits = model.apply(variables, x, train=False)
     return jax.nn.sigmoid(logits[..., 0])

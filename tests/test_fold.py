@@ -1,0 +1,84 @@
+"""Inference BatchNorm folding (models/fold.py): folded Conv(+bias)->act
+models must match the unfolded Conv->BN->act models to float tolerance, with
+non-trivial running statistics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openglottal_tpu.models.fold import fold_unet, fold_yolo
+from openglottal_tpu.models.unet import UNet, init_unet
+from openglottal_tpu.models.yolo import YOLOv8, init_yolo
+
+RNG = np.random.default_rng(42)
+
+
+def _perturb_stats(variables, key=0):
+    """Random running stats + BN affine params (init gives mean=0/var=1,
+    which would make folding trivially correct)."""
+    def rand_like(path, a):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        r = RNG.standard_normal(a.shape).astype(np.float32)
+        if name == "var":
+            return np.abs(r) + 0.3
+        if name == "scale":
+            return 1.0 + 0.3 * r
+        return 0.5 * r  # mean / bias
+
+    stats = jax.tree_util.tree_map_with_path(rand_like, variables["batch_stats"])
+    params = variables["params"]
+
+    def bn_affine(path, a):
+        keys = [p.key for p in path if hasattr(p, "key")]
+        if any(k.startswith("BatchNorm") for k in keys):
+            return rand_like(path, a)
+        return a
+
+    params = jax.tree_util.tree_map_with_path(bn_affine, params)
+    return {"params": params, "batch_stats": stats}
+
+
+def test_unet_fold_matches():
+    _, variables = init_unet(jax.random.PRNGKey(0), dtype=jnp.float32)
+    variables = _perturb_stats(variables)
+    x = jnp.asarray(RNG.random((2, 64, 64, 1)), jnp.float32)
+    ref = UNet(dtype=jnp.float32).apply(variables, x, train=False)
+    out = UNet(dtype=jnp.float32, fuse_bn=True).apply(
+        fold_unet(variables), x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_yolo_fold_matches():
+    _, variables = init_yolo(jax.random.PRNGKey(1), dtype=jnp.float32)
+    variables = _perturb_stats(variables)
+    x = jnp.asarray(RNG.random((2, 64, 64, 3)), jnp.float32)
+    ref = YOLOv8(nc=1, dtype=jnp.float32).apply(variables, x, train=False)
+    out = YOLOv8(nc=1, dtype=jnp.float32, fuse_bn=True).apply(
+        fold_yolo(variables), x, train=False)
+    for (rb, rc), (ob, oc) in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(ob), np.asarray(rb),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(oc), np.asarray(rc),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_fold_idempotent_without_stats():
+    _, variables = init_unet(jax.random.PRNGKey(0), dtype=jnp.float32)
+    folded = fold_unet(variables)
+    assert "batch_stats" not in folded
+    assert fold_unet(folded) is folded
+
+
+def test_fold_keeps_param_count():
+    """Folding must preserve every conv and head param (BN params are
+    absorbed, conv gains a bias)."""
+    _, variables = init_unet(jax.random.PRNGKey(0), dtype=jnp.float32)
+    folded = fold_unet(variables)
+    flat = jax.tree_util.tree_leaves_with_path(folded["params"])
+    names = ["/".join(p.key for p in path if hasattr(p, "key"))
+             for path, _ in flat]
+    assert not any("BatchNorm" in n for n in names)
+    # every DoubleConv conv now has a bias
+    assert sum(n.endswith("bias") and "Conv_" in n for n in names) >= 18

@@ -83,3 +83,72 @@ def test_frame_sharded_pipeline_matches_single(mesh):
     m1 = np.asarray(single.segment_video(gray))
     m8 = np.asarray(multi.segment_video(gray))
     np.testing.assert_array_equal(m1, m8)
+
+
+@pytest.fixture(scope="module")
+def pipes_1_vs_8(mesh):
+    """The SAME mesh-routed production code on a 1-device and an 8-device
+    mesh — pins that frame sharding never changes pipeline results (the
+    round-2 gap: GlottalPipelines(mesh=...) silently ran its fused hot
+    path, streaming segments, and both trackers on one device)."""
+    from openglottal_tpu.models.unet import init_unet
+    from openglottal_tpu.models.yolo import init_yolo
+    from openglottal_tpu.pipelines import GlottalPipelines
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    _, uv = init_unet(k1, dtype=jnp.float32)
+    _, yv = init_yolo(k2, dtype=jnp.float32)
+
+    def make(m):
+        return GlottalPipelines(unet_variables=uv, crop_unet_variables=uv,
+                                yolo_variables=yv, conf=0.0,
+                                dtype=jnp.float32, mesh=m)
+
+    return make(make_mesh(n_data=1, devices=jax.devices()[:1])), make(mesh)
+
+
+@pytest.fixture(scope="module")
+def mesh_video():
+    from openglottal_tpu.data.synthetic import synthetic_video
+
+    return synthetic_video(t=12, size=256, seed=5)[0]
+
+
+@pytest.mark.parametrize(
+    "pipeline", ["unet-only", "unet", "crop-unet", "vft", "guided-vft"])
+def test_all_pipelines_1_vs_8_devices(pipes_1_vs_8, mesh_video, pipeline):
+    p1, p8 = pipes_1_vs_8
+    from openglottal_tpu.data.video import bgr_to_gray_u8
+    from openglottal_tpu.pipelines import _box_area_sums
+
+    if pipeline == "unet-only":
+        gray = np.asarray(bgr_to_gray_u8(mesh_video))
+        a1 = np.asarray(p1.unet_only_areas(gray))
+        a8 = np.asarray(p8.unet_only_areas(gray))
+    elif pipeline == "unet":
+        a1 = np.asarray(p1.yolo_unet_areas(mesh_video))
+        a8 = np.asarray(p8.yolo_unet_areas(mesh_video))
+    elif pipeline == "crop-unet":
+        m1, v1, b1 = p1.crop_unet_masks(mesh_video)
+        m8, v8, b8 = p8.crop_unet_masks(mesh_video)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v8))
+        a1 = np.asarray(m1).sum((1, 2)).astype(np.float32)
+        a8 = np.asarray(m8).sum((1, 2)).astype(np.float32)
+    elif pipeline == "vft":
+        a1, a8 = p1.vft_areas(mesh_video), p8.vft_areas(mesh_video)
+    else:
+        a1 = p1.guided_vft_areas(mesh_video)
+        a8 = p8.guided_vft_areas(mesh_video)
+    np.testing.assert_allclose(a1, a8, atol=0.5, err_msg=pipeline)
+
+
+def test_stream_areas_1_vs_8_devices(pipes_1_vs_8, mesh_video):
+    p1, p8 = pipes_1_vs_8
+
+    def chunks():
+        yield mesh_video[:7]
+        yield mesh_video[7:]
+
+    a1 = p1.stream_areas(chunks(), "unet")
+    a8 = p8.stream_areas(chunks(), "unet")
+    np.testing.assert_allclose(a1, a8, atol=0.5)

@@ -91,6 +91,49 @@ def test_run_pipeline_full_unknown_raises(pipe, video):
         pipe.run_pipeline_full(video, "nope")
 
 
+@pytest.mark.parametrize("color", [False, True])
+def test_gated_non_256_matches_host_oracle(pipe, color):
+    """The letterbox->detect->unproject branch of _gated (non-256² videos)
+    against an oracle composed from the individually-pinned pieces:
+    host letterbox (ops/resize), the 256² detector path, explicit box
+    unprojection, and gate_scan."""
+    from openglottal_tpu.models.gate import gate_scan
+    from openglottal_tpu.ops.resize import letterbox, letterbox_info
+
+    t, h, w = 6, 300, 200
+    rng = np.random.default_rng(3)
+    vid = (rng.random((t, h, w, 3)) * 255).astype(np.uint8)
+    if not color:
+        vid = np.repeat(vid[..., :1], 3, axis=-1)
+    fdev, gray = pipe.prepare(vid)
+    assert (fdev is None) == (not color)
+    got_v, got_b = pipe._gated(fdev, gray)
+
+    # oracle: letterbox each channel/gray on host, detect at 256², then
+    # unproject boxes through the letterbox geometry and run the gate
+    pt, pl, _, _ = letterbox_info(h, w, 256)
+    scale = max(h, w) / 256.0
+    if color:
+        boxed = np.stack([
+            np.asarray(letterbox(jnp.asarray(vid[..., c], jnp.float32), 256,
+                                 method="linear")) for c in range(3)], -1)
+        boxed = np.clip(np.round(boxed), 0, 255).astype(np.uint8)
+        has, raw, _ = pipe.detect_video(boxed)
+    else:
+        boxed = np.asarray(letterbox(jnp.asarray(gray, jnp.float32), 256,
+                                     method="linear"))
+        boxed = np.clip(np.round(boxed), 0, 255).astype(np.uint8)
+        has, raw, _ = pipe.detect_video_gray(boxed)
+    raw = np.asarray(raw)
+    un = np.stack([(raw[:, 0] - pl) * scale, (raw[:, 1] - pt) * scale,
+                   (raw[:, 2] - pl) * scale, (raw[:, 3] - pt) * scale], -1)
+    un = np.clip(un, 0, np.asarray([w, h, w, h], np.float32))
+    want_v, want_b = gate_scan(jnp.asarray(has), jnp.asarray(un), h, w,
+                               params=pipe.gate_params)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(want_b))
+
+
 def test_tracker_routing_parallel_matches_scan(pipe, video):
     """Production paths route through the frame-parallel trackers; the
     sequential-scan fallback must agree (float-reassociation tolerance)."""
