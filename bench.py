@@ -1,13 +1,23 @@
-"""Throughput benchmark: YOLO+UNet detection-gated pipeline, frames/sec/chip.
+"""Throughput benchmark: YOLO+UNet pipeline + motion trackers, frames/sec/chip.
 
 Reference baseline: ~35 frames/s for the full YOLO+UNet pipeline on Apple
 M-series MPS (paper/main.tex:951-954; BASELINE.md).  North star:
 >=5,000 256² frames/sec/chip on TPU v5e-1 (BASELINE.json).
 
-Measures the end-to-end video -> area-waveform path on a synthetic 502-frame
-256² video (the paper's timing workload, benchmark_video_speed.py:5):
-host->device transfer, batched YOLO + U-Net passes (bfloat16), temporal gate
-scan, box-masked area reduction.  Prints ONE JSON line.
+Measurement rules (the round-2 bench violated all three and over-reported by
+>3x — see VERDICT.md "What's weak" #1):
+  * every timed region ends by FETCHING results to host (np.asarray of the
+    waveform) — the only completion fence the axon relay cannot elide;
+  * every timed repetition runs on DISTINCT video content (fresh uint8
+    perturbation per rep), so no rep can ride cached work;
+  * the JSON line carries flops_per_frame (XLA cost analysis), device_kind,
+    and mfu so the headline number can be physics-checked: fps x
+    flops_per_frame must stay below the chip's peak.
+
+Workload: the paper's timing video (502 frames, 256², monochrome HSV;
+benchmark_video_speed.py:5) — serial per-video latency (device-resident
+input), pipelined end-to-end throughput (host videos, double-buffered
+transfers), and the two motion-tracker pipelines.
 """
 
 from __future__ import annotations
@@ -23,27 +33,58 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# dense bf16 peak FLOP/s per chip, by jax device_kind (public spec sheets)
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5p": 459e12,
+    "TPU v5": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+}
+
+T_FRAMES = 502  # paper timing workload (benchmark_video_speed.py:5)
+N_VIDEOS = 8    # steady-state batch workload (analyze_gaw processes 65)
+N_BASE = 4      # distinct synthetic base videos (generation is ~15 s each)
+
+
+def _perturb(video: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Distinct content at memcpy speed: fresh low-amplitude uint8 XOR noise.
+    Conv/scan work is content-independent, but distinct bytes per rep deny
+    the runtime any chance to alias reps to earlier results."""
+    noise = rng.integers(0, 8, size=video.shape, dtype=np.uint8)
+    return video ^ noise
+
 
 def main() -> None:
     import argparse
 
     from openglottal_tpu.data.synthetic import synthetic_video
+    from openglottal_tpu.models.gate import GateParams
     from openglottal_tpu.models.unet import init_unet
     from openglottal_tpu.models.yolo import init_yolo
-    from openglottal_tpu.pipelines import GlottalPipelines
+    from openglottal_tpu.pipelines import (
+        GlottalPipelines,
+        _bucket,
+        _fused_yolo_unet_video,
+        _pad_to,
+    )
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default=None,
                     help="Write a jax.profiler trace of one batch to this dir.")
+    ap.add_argument("--reps", type=int, default=5)
     args, _ = ap.parse_known_args()
 
-    t_frames = 502  # paper timing workload (benchmark_video_speed.py:5)
-    n_videos = 8    # steady-state batch workload (analyze_gaw processes 65)
+    dev = jax.devices()[0]
+    device_kind = dev.device_kind
+    peak = next((v for k, v in PEAK_BF16.items() if device_kind.startswith(k)),
+                None)
+
     # decoded monochrome HSV frames — high-speed endoscopy cameras are
     # grayscale, so decode yields (T, 256, 256) uint8 per video
-    videos = [np.ascontiguousarray(
-        synthetic_video(t=t_frames, size=256, seed=s)[0][..., 0])
-        for s in range(n_videos)]
+    base = [np.ascontiguousarray(
+        synthetic_video(t=T_FRAMES, size=256, seed=s)[0][..., 0])
+        for s in range(N_BASE)]
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     _, uvars = init_unet(k1, dtype=jnp.bfloat16)
@@ -51,57 +92,132 @@ def main() -> None:
     pipe = GlottalPipelines(unet_variables=uvars, yolo_variables=yvars,
                             dtype=jnp.bfloat16)
 
+    # ── FLOPs per frame (XLA cost analysis) ───────────────────────────────
+    # Counted on the plain batched U-Net + YOLO chunk graphs (no loops):
+    # cost_analysis counts a lax.map/while BODY once, not x trip-count, so
+    # the fused whole-video graph under-reports by T_pad/CHUNK (4x for the
+    # 502-frame workload — the round-2 trap, VERDICT.md).
+    from openglottal_tpu.pipelines import CHUNK, _unet_chunk, _yolo_chunk_gray
+
+    g_chunk = jax.ShapeDtypeStruct((CHUNK, 256, 256), jnp.uint8)
+    try:
+        f_unet = float(_unet_chunk.lower(
+            pipe.unet_variables, g_chunk, dtype=jnp.bfloat16,
+            fuse=pipe._fuse).compile().cost_analysis()["flops"])
+        f_yolo = float(_yolo_chunk_gray.lower(
+            pipe.yolo_variables, g_chunk, conf=0.25, dtype=jnp.bfloat16,
+            fuse=pipe._fuse).compile().cost_analysis()["flops"])
+        flops_per_frame = (f_unet + f_yolo) / CHUNK
+    except Exception:
+        flops_per_frame = None
+
     from openglottal_tpu.data.prefetch import prefetch_to_device
 
-    def run_batch():
-        # explicit double buffering: a background thread device_puts video
-        # i+1/i+2 while the chip computes video i (jax.device_put blocks its
-        # calling thread, so async dispatch alone does NOT overlap transfers)
-        outs = [pipe.yolo_unet_areas_gray(g)
-                for g in prefetch_to_device(videos, size=2)]
-        return jax.block_until_ready(outs)
+    rng = np.random.default_rng(1234)
 
-    run_batch()  # warmup / compile
-    run_batch()
+    def run_serial(videos_dev) -> float:
+        """Device-resident input, strictly serial, fetch-forced per video.
+        Returns seconds for all videos."""
+        t0 = time.perf_counter()
+        for g in videos_dev:
+            np.asarray(pipe.yolo_unet_areas_gray(g))  # d2h fetch = fence
+        return time.perf_counter() - t0
+
+    def run_e2e(videos_host) -> float:
+        """Host input, double-buffered transfers, outputs fetched inside the
+        timed region (dispatch all, then fetch all — overlap preserved)."""
+        t0 = time.perf_counter()
+        outs = [pipe.yolo_unet_areas_gray(g)
+                for g in prefetch_to_device(videos_host, size=2)]
+        for o in outs:
+            np.asarray(o)
+        return time.perf_counter() - t0
+
+    # warmup / compile on content never reused in a timed rep
+    warm = [_perturb(base[i % N_BASE], rng) for i in range(2)]
+    run_e2e(warm)
+    run_serial([jax.device_put(w) for w in warm])
 
     if args.profile:
         with jax.profiler.trace(args.profile):
-            run_batch()
+            run_e2e([_perturb(base[i % N_BASE], rng) for i in range(N_VIDEOS)])
         print(f"# trace written to {args.profile}", flush=True)
 
-    # host->device bandwidth through the shared TPU tunnel fluctuates 10-20x
-    # with pool contention; median-of-5 batches is robust to the spikes
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        run_batch()
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
-    fps = t_frames * n_videos / dt
-    fps_floor = t_frames * n_videos / max(times)  # worst-of-5: contention floor
-
-    # diagnostics: compute-only throughput (device-resident input — what a
-    # production host with direct PCIe would see) and the tunnel bandwidth
-    # this run happened to get (observed range here: 0.07-2 GB/s)
-    grays_dev = [jax.device_put(v) for v in videos]
-    jax.block_until_ready(grays_dev)
-    jax.block_until_ready([pipe.yolo_unet_areas_gray(g) for g in grays_dev])
-    t0 = time.perf_counter()
+    # serial compute-path latency (the MFU-bearing number)
+    serial_times = []
     for _ in range(3):
-        jax.block_until_ready([pipe.yolo_unet_areas_gray(g) for g in grays_dev])
-    fps_compute = t_frames * n_videos / ((time.perf_counter() - t0) / 3)
+        vids = [jax.device_put(_perturb(base[i % N_BASE], rng))
+                for i in range(4)]
+        jax.block_until_ready(vids)
+        serial_times.append(run_serial(vids) / len(vids))
+    dt_serial = sorted(serial_times)[len(serial_times) // 2]
+    serial_fps = T_FRAMES / dt_serial
+    mfu = (serial_fps * flops_per_frame / peak
+           if flops_per_frame and peak else None)
+
+    # end-to-end pipelined throughput (host->device transfers included);
+    # host->device bandwidth through the shared TPU tunnel fluctuates 10-20x
+    # with pool contention -> median + worst-of-reps floor
+    e2e_times = []
+    for _ in range(args.reps):
+        vids = [_perturb(base[i % N_BASE], rng) for i in range(N_VIDEOS)]
+        e2e_times.append(run_e2e(vids))
+    dt = sorted(e2e_times)[len(e2e_times) // 2]
+    fps = T_FRAMES * N_VIDEOS / dt
+    fps_floor = T_FRAMES * N_VIDEOS / max(e2e_times)
+
+    # trackers: chip-attributable = device-resident gray input, full
+    # per-video compute (detect + gate + tracker; areas come back as host
+    # arrays — inherently fetch-forced); realistic synthetic content
+    # (fixpoint convergence is content-dependent), distinct per rep
+    def vft_run(gd):
+        valid, boxes = pipe._gated(None, gd)
+        return pipe._vft_compute(gd, valid, boxes, int(gd.shape[0]))[0]
+
+    def ygvft_run(gd):
+        valid, boxes = pipe._gated(None, gd)
+        return pipe._ygvft_compute(gd, valid, boxes, int(gd.shape[0]))[0]
+
+    def run_tracker(fn) -> float:
+        times = []
+        for r in range(2):
+            vids_dev = [jax.device_put(_perturb(b, rng)) for b in base[:2]]
+            jax.block_until_ready(vids_dev)
+            t0 = time.perf_counter()
+            for gd in vids_dev:
+                fn(gd)
+            times.append((time.perf_counter() - t0) / len(vids_dev))
+        return T_FRAMES / min(times)
+
+    warm_dev = jax.device_put(base[0])
+    vft_run(warm_dev)
+    ygvft_run(warm_dev)
+    vft_fps = run_tracker(vft_run)
+    ygvft_fps = run_tracker(ygvft_run)
+
+    # tunnel bandwidth this run happened to get (observed 0.07-2 GB/s)
+    vids = [_perturb(base[i % N_BASE], rng) for i in range(4)]
     t0 = time.perf_counter()
-    jax.block_until_ready([jax.device_put(v) for v in videos])
-    mbps = sum(v.nbytes for v in videos) / (time.perf_counter() - t0) / 1e6
+    jax.block_until_ready([jax.device_put(v) for v in vids])
+    mbps = sum(v.nbytes for v in vids) / (time.perf_counter() - t0) / 1e6
 
     baseline_fps = 35.0  # reference full pipeline, M-series MPS
+    # headline = the chip-attributable serial fetch-forced number; the
+    # end-to-end figure includes host->device transfers whose bandwidth is
+    # set by the shared relay tunnel (observed 0.03-2 GB/s), not the chip
     print(json.dumps({
         "metric": "yolo_unet_frames_per_sec_per_chip",
-        "value": round(fps, 1),
+        "value": round(serial_fps, 1),
         "unit": "frames/s",
-        "vs_baseline": round(fps / baseline_fps, 2),
-        "floor_fps": round(fps_floor, 1),
-        "compute_only_fps": round(fps_compute, 1),
+        "vs_baseline": round(serial_fps / baseline_fps, 2),
+        "e2e_fps": round(fps, 1),
+        "e2e_floor_fps": round(fps_floor, 1),
+        "vft_fps": round(vft_fps, 1),
+        "guided_vft_fps": round(ygvft_fps, 1),
+        "flops_per_frame": (round(flops_per_frame)
+                            if flops_per_frame else None),
+        "device_kind": device_kind,
+        "mfu": round(mfu, 4) if mfu is not None else None,
         "h2d_bandwidth_MBps": round(mbps, 1),
     }))
 
