@@ -105,7 +105,7 @@ def main() -> None:
             pipe.unet_variables, g_chunk, dtype=jnp.bfloat16,
             fuse=pipe._fuse).compile().cost_analysis()["flops"])
         f_yolo = float(_yolo_chunk_gray.lower(
-            pipe.yolo_variables, g_chunk, conf=0.25, dtype=jnp.bfloat16,
+            pipe.yolo_gray_variables, g_chunk, conf=0.25, dtype=jnp.bfloat16,
             fuse=pipe._fuse).compile().cost_analysis()["flops"])
         flops_per_frame = (f_unet + f_yolo) / CHUNK
     except Exception:
@@ -154,6 +154,27 @@ def main() -> None:
     serial_fps = T_FRAMES / dt_serial
     mfu = (serial_fps * flops_per_frame / peak
            if flops_per_frame and peak else None)
+
+    # pipelined chip throughput: dispatch all K device-resident videos, then
+    # fetch every waveform INSIDE the timed region (still fetch-forced,
+    # distinct content) — amortises the per-dispatch relay round-trip
+    # (~40 ms/video, jax.profiler trace) that the serial protocol charges to
+    # every video; this is the per-chip number a local-host deployment sees
+    # (profiled device time for the fused module: 107.75 ms/video = 4.7k fps)
+    def run_pipelined() -> float:
+        vids = [jax.device_put(_perturb(base[i % N_BASE], rng))
+                for i in range(N_VIDEOS)]
+        jax.block_until_ready(vids)
+        t0 = time.perf_counter()
+        outs = [pipe.yolo_unet_areas_gray(g) for g in vids]
+        for o in outs:
+            np.asarray(o)
+        return (time.perf_counter() - t0) / len(vids)
+
+    dt_pipe = sorted(run_pipelined() for _ in range(3))[1]
+    pipelined_fps = T_FRAMES / dt_pipe
+    mfu_pipelined = (pipelined_fps * flops_per_frame / peak
+                     if flops_per_frame and peak else None)
 
     # end-to-end pipelined throughput (host->device transfers included);
     # host->device bandwidth through the shared TPU tunnel fluctuates 10-20x
@@ -210,6 +231,9 @@ def main() -> None:
         "value": round(serial_fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(serial_fps / baseline_fps, 2),
+        "pipelined_fps": round(pipelined_fps, 1),
+        "mfu_pipelined": (round(mfu_pipelined, 4)
+                          if mfu_pipelined is not None else None),
         "e2e_fps": round(fps, 1),
         "e2e_floor_fps": round(fps_floor, 1),
         "vft_fps": round(vft_fps, 1),

@@ -78,6 +78,41 @@ def fold_yolo(variables: dict) -> dict:
     return fold_batchnorm(variables, YOLO_BN_EPS)
 
 
+def fold_gray_stem(yolo_variables: dict) -> dict:
+    """Sum the YOLO stem conv kernel over its RGB input axis -> a model that
+    takes 1-channel (grayscale) input directly.
+
+    High-speed endoscopy video is monochrome, so the pipelines replicate the
+    gray channel to RGB on device (pipelines._yolo_chunk_gray).  Convolution
+    is linear in the input channels, so for equal channels
+    ``conv(bcast3(x), k) == conv(x, k.sum(axis=2))`` — folding the sum into
+    the kernel skips reading 3x the stem input and the broadcast
+    materialisation.  Numerics match the broadcast path up to one bf16
+    rounding of the summed kernel (pinned by tests/test_fold.py).
+
+    Idempotent: a stem already folded to 1 input channel passes through.
+    """
+    params = yolo_variables["params"]
+    stem = params["ConvBNSiLU_0"]["Conv_0"]
+    if stem["kernel"].shape[2] == 1:
+        return yolo_variables
+    out = dict(yolo_variables)
+    out["params"] = dict(params)
+    out["params"]["ConvBNSiLU_0"] = dict(params["ConvBNSiLU_0"])
+    out["params"]["ConvBNSiLU_0"]["Conv_0"] = dict(stem)
+    out["params"]["ConvBNSiLU_0"]["Conv_0"]["kernel"] = (
+        stem["kernel"].sum(axis=2, keepdims=True))
+    return out
+
+
+def yolo_stem_cin(yolo_variables: dict) -> int:
+    """Static input-channel count of the YOLO stem conv (1 after
+    :func:`fold_gray_stem`, 3 otherwise) — lets jitted chunk functions pick
+    the matching input layout at trace time."""
+    return int(
+        yolo_variables["params"]["ConvBNSiLU_0"]["Conv_0"]["kernel"].shape[2])
+
+
 def is_folded(variables: dict) -> bool:
     """Structural signature of a folded tree: no batch_stats and no
     BatchNorm params anywhere, while the (bias-free when unfolded)

@@ -112,7 +112,12 @@ def gate_scan_carry(state: GateState, has, boxes, frame_h: int, frame_w: int,
         return gate_step(st, (h_, b[0], b[1], b[2], b[3]), frame_h, frame_w,
                          params)
 
-    return jax.lax.scan(step, state, (has, boxes.astype(jnp.float32)))
+    # unroll: the FSM body is ~30 scalar ops, so the scan is loop-overhead
+    # bound on TPU (~87 us/step measured through the relay); unrolling packs
+    # 16 steps per loop trip with bit-identical results (no reassociation —
+    # steps still run in order)
+    return jax.lax.scan(step, state, (has, boxes.astype(jnp.float32)),
+                        unroll=16)
 
 
 @partial(jax.jit, static_argnums=(2, 3), static_argnames=("params",))

@@ -33,7 +33,7 @@ from openglottal_tpu.ops.blobs import (
 )
 from openglottal_tpu.ops.histogram import (
     masked_histogram_u8,
-    masked_percentile_sorted,
+    masked_percentile_u8_batch,
     percentile_from_hist,
 )
 
@@ -227,7 +227,9 @@ def _thresh_chain(thresh0, cur, n_px, active, beta):
         th = jnp.where(act_, th2, th)
         return th, th
 
-    _, out = jax.lax.scan(step, thresh0, (cur, n_px, active))
+    # unroll: 5 scalar ops per step — loop-overhead bound on TPU; unrolling
+    # keeps results bit-identical (steps still run in order)
+    _, out = jax.lax.scan(step, thresh0, (cur, n_px, active), unroll=16)
     return out
 
 
@@ -265,13 +267,9 @@ def ygvft_parallel(init_frames, first_valid, first_box, frames, valids, boxes,
            & (cols >= boxes[:, 0, None, None]) & (cols < boxes[:, 2, None, None])
            & valids[:, None, None])
 
-    def pct(frame, m):
-        # sort-based exact percentile: the vmapped 256-bin scatter-add
-        # histogram hits the TPU serialized-scatter slow path (~355 ms/512
-        # frames); the batched sort is ~1 ms with identical results
-        return masked_percentile_sorted(frame, m, p.glottal_percentile)
-
-    cur, n_px = jax.vmap(pct)(ff, roi)
+    # bit-search exact percentile (ops/histogram.py): counts instead of a
+    # per-frame sort (~80 ms/512 frames) or scatter-add histogram (~355 ms)
+    cur, n_px = masked_percentile_u8_batch(ff, roi, p.glottal_percentile)
     thresh = _thresh_chain(jnp.asarray(thresh0), cur, n_px, active, p.beta)
 
     raw = (ff < thresh[:, None, None]) & roi & active[:, None, None]
@@ -306,13 +304,9 @@ def vft_parallel(init_frames, frames, active=None,
     rthr = jnp.where(peaks > 0, peaks * p.roi_threshold_ratio, 1.0)
     roi = largest_blob_batch(lmaps > rthr[:, None, None])
 
-    def pct(frame, m):
-        # sort-based exact percentile: the vmapped 256-bin scatter-add
-        # histogram hits the TPU serialized-scatter slow path (~355 ms/512
-        # frames); the batched sort is ~1 ms with identical results
-        return masked_percentile_sorted(frame, m, p.glottal_percentile)
-
-    cur, n_px = jax.vmap(pct)(ff, roi)
+    # bit-search exact percentile (ops/histogram.py): counts instead of a
+    # per-frame sort (~80 ms/512 frames) or scatter-add histogram (~355 ms)
+    cur, n_px = masked_percentile_u8_batch(ff, roi, p.glottal_percentile)
     thresh = _thresh_chain(jnp.asarray(thresh0), cur, n_px, active, p.beta)
 
     raw = (ff < thresh[:, None, None]) & roi & active[:, None, None]

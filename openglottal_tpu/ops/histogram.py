@@ -70,6 +70,46 @@ def masked_percentile_sorted(values, mask, q):
     return v_lo * (1.0 - frac) + v_hi * frac, n
 
 
+def masked_percentile_u8_batch(values, mask, q):
+    """Batched exact ``np.percentile(values[t][mask[t]], q)`` for
+    integer-valued [0, 255] pixels — the frame-parallel trackers' production
+    percentile (models/tracker.py).
+
+    Finds the two order statistics by bitwise binary search on the VALUE:
+    8 count passes per order stat (compare + masked popcount), 16 passes
+    total, all elementwise + reductions on the VPU.  The per-frame sort this
+    replaces (``masked_percentile_sorted`` under vmap) costs ~80 ms per 512
+    frames on TPU v5e (bitonic sort of (512, 65536)); the count passes run
+    in a few ms.  Results are identical (pinned by tests/test_blur_hist.py).
+
+    values: (T, ...) float, integer-valued; mask: same shape bool.
+    Returns (value (T,) f32, n (T,) f32); value is garbage where n == 0
+    (callers gate on n, mirroring the reference's ``if px.size`` fallbacks).
+    """
+    t = values.shape[0]
+    v = values.reshape(t, -1).astype(jnp.int32)
+    m = mask.reshape(t, -1)
+    n = m.sum(1).astype(jnp.float32)
+    rank = (q / 100.0) * jnp.maximum(n - 1.0, 0.0)
+    k = jnp.floor(rank)
+    frac = rank - k
+
+    def order_stat(kk):
+        """Smallest value s with count(masked <= s) >= kk + 1 == sorted[kk]."""
+        thr = jnp.zeros((t,), jnp.int32)
+        for bit in (128, 64, 32, 16, 8, 4, 2, 1):
+            cand = thr + (bit - 1)
+            cnt = (m & (v <= cand[:, None])).sum(1)
+            thr = jnp.where(cnt >= kk + 1, thr, thr + bit)
+        return thr.astype(jnp.float32)
+
+    ki = k.astype(jnp.int32)
+    last = jnp.maximum(n.astype(jnp.int32) - 1, 0)
+    v_lo = order_stat(jnp.minimum(ki, last))
+    v_hi = order_stat(jnp.minimum(ki + 1, last))
+    return v_lo * (1.0 - frac) + v_hi * frac, n
+
+
 def masked_percentile_u8(values, mask, q, fallback):
     """Exact np.percentile of uint8 ``values[mask]``; ``fallback`` when mask empty."""
     hist = masked_histogram_u8(values, mask)

@@ -17,6 +17,7 @@ summaries, and dynamic crop geometry becomes traced interpolation matrices
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -50,6 +51,35 @@ from openglottal_tpu.ops.resize import (
 VFT_INIT = 2    # reference features.py:31
 YGVFT_INIT = 2  # reference features.py:32
 CHUNK = 128     # frame-chunk size for batched model passes
+# (chunk-size sweep on v5e, scripts/perf_probe3.py: 128 beats 256/512 both
+# serial and pipelined — bigger chunks lose more to HBM pressure than they
+# gain in loop-trip amortisation)
+
+# TPU conv-emitter tuning: raising the scoped-VMEM budget lets XLA's conv
+# emitters pick larger tiles (whole-video U-Net pass 130.1 -> 126.1 ms on
+# v5e, scripts/perf_probe4; default budget is 16 MiB).  TPU-only option, so
+# it is resolved per backend at call time.
+_TPU_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": 65536}
+
+
+def _jit_hot(fn=None, **jit_kwargs):
+    """``jax.jit`` for the conv-heavy chunk graphs: on TPU backends compiles
+    with :data:`_TPU_COMPILER_OPTS`, elsewhere plain jit (the options are
+    TPU-compiler flags and would be rejected).  Resolved at call time so the
+    import order / backend re-pointing dance (__graft_entry__) stays valid.
+    ``.lower`` delegates to the plain variant (bench.py cost analysis)."""
+    if fn is None:
+        return partial(_jit_hot, **jit_kwargs)
+    f_plain = jax.jit(fn, **jit_kwargs)
+    f_tpu = jax.jit(fn, compiler_options=_TPU_COMPILER_OPTS, **jit_kwargs)
+
+    @functools.wraps(fn)
+    def call(*args, **kwargs):
+        f = f_tpu if jax.default_backend() == "tpu" else f_plain
+        return f(*args, **kwargs)
+
+    call.lower = f_plain.lower
+    return call
 
 # jitted tracker initializers for the streaming paths (the raw functions are
 # trace-level; calling them eagerly would dispatch op-by-op through the TPU
@@ -93,7 +123,7 @@ def _require_256(gray):
     return h, w
 
 
-@partial(jax.jit, static_argnames=("dtype", "fuse"))
+@_jit_hot(static_argnames=("dtype", "fuse"))
 def _unet_chunk(variables, gray_u8, dtype=jnp.bfloat16, fuse: bool = False):
     """U-Net on a chunk of 256² grayscale frames -> boolean masks.
 
@@ -106,7 +136,7 @@ def _unet_chunk(variables, gray_u8, dtype=jnp.bfloat16, fuse: bool = False):
     return jax.nn.sigmoid(logits[..., 0]) > 0.5
 
 
-@partial(jax.jit, static_argnames=("conf", "dtype", "fuse"))
+@_jit_hot(static_argnames=("conf", "dtype", "fuse"))
 def _yolo_chunk(variables, bgr_u8, conf: float = 0.25, dtype=jnp.bfloat16,
                 fuse: bool = False):
     """YOLO max-conf detection on a chunk of 256² BGR frames."""
@@ -117,24 +147,38 @@ def _yolo_chunk(variables, bgr_u8, conf: float = 0.25, dtype=jnp.bfloat16,
     return max_conf_detect(outs, h, w, conf)
 
 
-@partial(jax.jit, static_argnames=("conf", "dtype", "fuse"))
+def _gray_stem_input(variables, gray_u8):
+    """Normalised model input for monochrome frames, matched to the stem's
+    static input-channel count: 1 for ``fold_gray_stem``-folded variables
+    (the kernel-summed stem skips reading 3x the input), 3 otherwise
+    (channels replicated on device — bit-identical to the BGR path for
+    equal-channel sources)."""
+    x = (gray_u8.astype(jnp.float32) / 255.0)[..., None]
+    cin = variables["params"]["ConvBNSiLU_0"]["Conv_0"]["kernel"].shape[2]
+    if cin == 3:
+        x = jnp.broadcast_to(x, x.shape[:3] + (3,))
+    return x
+
+
+@_jit_hot(static_argnames=("conf", "dtype", "fuse"))
 def _yolo_chunk_gray(variables, gray_u8, conf: float = 0.25,
                      dtype=jnp.bfloat16, fuse: bool = False):
-    """YOLO on monochrome frames: channels replicated on DEVICE.
+    """YOLO on monochrome frames without a host-side channel replication.
 
     High-speed endoscopy video is monochrome (4000 fps cameras;
     paper/main.tex:285-287), so the host->HBM transfer — the pipeline's real
-    bottleneck through the TPU tunnel — only needs one channel.  Bit-identical
-    to the BGR path when all three input channels are equal."""
+    bottleneck through the TPU tunnel — only needs one channel.  With a
+    gray-folded stem (models/fold.fold_gray_stem) the replication disappears
+    entirely; numerics match the BGR path up to one rounding of the summed
+    stem kernel."""
     model = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
-    x = (gray_u8.astype(jnp.float32) / 255.0)[..., None]
-    x = jnp.broadcast_to(x, x.shape[:3] + (3,))
+    x = _gray_stem_input(variables, gray_u8)
     outs = model.apply(variables, x, train=False)
     h, w = x.shape[1:3]
     return max_conf_detect(outs, h, w, conf)
 
 
-@partial(jax.jit, static_argnames=("conf", "dtype", "gate_params", "fuse"))
+@_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse"))
 def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
                            conf: float, dtype, gate_params: GateParams,
                            fuse: bool = False):
@@ -157,8 +201,8 @@ def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
         x = (g.astype(jnp.float32) / 255.0)[..., None]
         masks = jax.nn.sigmoid(
             unet.apply(unet_variables, x, train=False)[..., 0]) > 0.5
-        x3 = jnp.broadcast_to(x, x.shape[:3] + (3,))
-        outs = yolo.apply(yolo_variables, x3, train=False)
+        outs = yolo.apply(yolo_variables, _gray_stem_input(yolo_variables, g),
+                          train=False)
         has, box, cf = max_conf_detect(outs, h, w, conf)
         return masks, has, box
 
@@ -170,7 +214,7 @@ def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
     return _box_area_sums(masks, valid, boxes)
 
 
-@partial(jax.jit, static_argnames=("conf", "dtype", "gate_params", "fuse"))
+@_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse"))
 def _sharded_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
                              conf: float, dtype, gate_params: GateParams,
                              fuse: bool = False):
@@ -191,15 +235,15 @@ def _sharded_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
     x = (gray_u8.astype(jnp.float32) / 255.0)[..., None]
     masks = jax.nn.sigmoid(
         unet.apply(unet_variables, x, train=False)[..., 0]) > 0.5
-    x3 = jnp.broadcast_to(x, x.shape[:3] + (3,))
-    outs = yolo.apply(yolo_variables, x3, train=False)
+    outs = yolo.apply(yolo_variables,
+                      _gray_stem_input(yolo_variables, gray_u8), train=False)
     has, raw, _ = max_conf_detect(outs, h, w, conf)
     has = has & (jnp.arange(t_pad) < t_real)
     valid, boxes = gate_scan(has, raw, h, w, params=gate_params)
     return _box_area_sums(masks, valid, boxes)
 
 
-@partial(jax.jit, static_argnames=("conf", "dtype", "fuse"))
+@_jit_hot(static_argnames=("conf", "dtype", "fuse"))
 def _stream_yolo_chunk(yolo_variables, gray_u8, conf: float, dtype,
                        fuse: bool = False):
     """YOLO-only per-segment detections for the streaming crop-unet path:
@@ -210,9 +254,8 @@ def _stream_yolo_chunk(yolo_variables, gray_u8, conf: float, dtype,
     yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
 
     def per_chunk(g):
-        x = (g.astype(jnp.float32) / 255.0)[..., None]
-        x3 = jnp.broadcast_to(x, x.shape[:3] + (3,))
-        outs = yolo.apply(yolo_variables, x3, train=False)
+        outs = yolo.apply(yolo_variables, _gray_stem_input(yolo_variables, g),
+                          train=False)
         has, box, _ = max_conf_detect(outs, h, w, conf)
         return has, box
 
@@ -220,7 +263,7 @@ def _stream_yolo_chunk(yolo_variables, gray_u8, conf: float, dtype,
     return has.reshape(t_pad), raw.reshape(t_pad, 4)
 
 
-@partial(jax.jit, static_argnames=("conf", "dtype", "fuse"))
+@_jit_hot(static_argnames=("conf", "dtype", "fuse"))
 def _stream_yolo_chunk_bgr(yolo_variables, bgr_u8, conf: float, dtype,
                            fuse: bool = False):
     """BGR variant of :func:`_stream_yolo_chunk` for color sources: the
@@ -241,7 +284,7 @@ def _stream_yolo_chunk_bgr(yolo_variables, bgr_u8, conf: float, dtype,
     return has.reshape(t_pad), raw.reshape(t_pad, 4)
 
 
-@partial(jax.jit, static_argnames=("dtype", "fuse"))
+@_jit_hot(static_argnames=("dtype", "fuse"))
 def _stream_unet_masks_chunk(unet_variables, gray_u8, dtype,
                              fuse: bool = False):
     """U-Net masks only, for streaming segments whose detections come from
@@ -259,7 +302,7 @@ def _stream_unet_masks_chunk(unet_variables, gray_u8, dtype,
     return jax.lax.map(per_chunk, chunks).reshape(t_pad, h, w)
 
 
-@partial(jax.jit, static_argnames=("conf", "dtype", "fuse"))
+@_jit_hot(static_argnames=("conf", "dtype", "fuse"))
 def _stream_yolo_unet_chunk(unet_variables, yolo_variables, gray_u8,
                             conf: float, dtype, fuse: bool = False):
     """Stateless per-segment compute for the streaming path: U-Net masks +
@@ -276,8 +319,8 @@ def _stream_yolo_unet_chunk(unet_variables, yolo_variables, gray_u8,
         x = (g.astype(jnp.float32) / 255.0)[..., None]
         masks = jax.nn.sigmoid(
             unet.apply(unet_variables, x, train=False)[..., 0]) > 0.5
-        x3 = jnp.broadcast_to(x, x.shape[:3] + (3,))
-        outs = yolo.apply(yolo_variables, x3, train=False)
+        outs = yolo.apply(yolo_variables, _gray_stem_input(yolo_variables, g),
+                          train=False)
         has, box, _ = max_conf_detect(outs, h, w, conf)
         return masks, has, box
 
@@ -286,7 +329,7 @@ def _stream_yolo_unet_chunk(unet_variables, yolo_variables, gray_u8,
             raw.reshape(t_pad, 4))
 
 
-@partial(jax.jit, static_argnames=("dtype", "fuse"))
+@_jit_hot(static_argnames=("dtype", "fuse"))
 def _fused_unet_only_video(unet_variables, gray_u8, dtype,
                            fuse: bool = False):
     """ONE dispatch: whole monochrome 256² video -> full-frame area waveform
@@ -315,7 +358,7 @@ def is_monochrome(frames_np) -> bool:
     return bool((f[..., 0] == f[..., 1]).all() and (f[..., 1] == f[..., 2]).all())
 
 
-@partial(jax.jit, static_argnames=("dtype", "fuse"))
+@_jit_hot(static_argnames=("dtype", "fuse"))
 def _crop_unet_chunk(variables, gray_u8, valids, boxes, dtype=jnp.bfloat16,
                      fuse: bool = False):
     """Crop pipeline on a chunk: crop each gated box, letterbox to 256²
@@ -428,6 +471,13 @@ class GlottalPipelines:
         self.unet_variables = unet_variables
         self.crop_unet_variables = crop_unet_variables
         self.yolo_variables = yolo_variables
+        # gray paths COULD run a kernel-summed 1-channel stem
+        # (models/fold.fold_gray_stem); measured on TPU v5e it is ~5% slower
+        # than broadcasting the channel on device (the broadcast fuses into
+        # the stem conv's input read; a cin=1 conv pads to the same tile),
+        # so the gray tree stays identical to the BGR tree — which also keeps
+        # gray detection bit-identical to detect_video for equal channels.
+        self.yolo_gray_variables = yolo_variables
         self.conf = conf
         self.gate_params = gate_params
         self.vft_params = vft_params
@@ -453,6 +503,7 @@ class GlottalPipelines:
                 if crop_unet_variables is not None else None)
             self.yolo_variables = (jax.device_put(yolo_variables, self._repl_spec)
                                    if yolo_variables is not None else None)
+            self.yolo_gray_variables = self.yolo_variables
         else:
             self._chunk_spec = None
 
@@ -502,8 +553,9 @@ class GlottalPipelines:
         """(T, 256, 256) monochrome -> same as detect_video (channels
         replicated on device; exact for equal-channel sources)."""
         return self._chunked(
-            lambda x: _yolo_chunk_gray(self.yolo_variables, x, conf=self.conf,
-                                       dtype=self.dtype, fuse=self._fuse),
+            lambda x: _yolo_chunk_gray(self.yolo_gray_variables, x,
+                                       conf=self.conf, dtype=self.dtype,
+                                       fuse=self._fuse),
             to_device(gray_u8),
         )
 
@@ -639,12 +691,12 @@ class GlottalPipelines:
         if (h, w) == (256, 256):
             if self._chunk_spec is not None:
                 return _sharded_yolo_unet_video(
-                    self.unet_variables, self.yolo_variables,
+                    self.unet_variables, self.yolo_gray_variables,
                     self._seg_put(gray, t), jnp.int32(t),
                     conf=self.conf, dtype=self.dtype,
                     gate_params=self.gate_params, fuse=self._fuse)[:t]
             return _fused_yolo_unet_video(
-                self.unet_variables, self.yolo_variables,
+                self.unet_variables, self.yolo_gray_variables,
                 _pad_to(gray, _bucket(t)), jnp.int32(t),
                 conf=self.conf, dtype=self.dtype,
                 gate_params=self.gate_params, fuse=self._fuse)[:t]
@@ -914,7 +966,7 @@ class GlottalPipelines:
                                                      fuse=self._fuse)
             else:
                 masks, has, raw = _stream_yolo_unet_chunk(
-                    self.unet_variables, self.yolo_variables, g,
+                    self.unet_variables, self.yolo_gray_variables, g,
                     conf=self.conf, dtype=self.dtype, fuse=self._fuse)
             state, (valid, boxes) = gate_scan_carry(
                 state, has[:t_c], raw[:t_c], h, w, params=self.gate_params)
@@ -940,11 +992,11 @@ class GlottalPipelines:
                 self.yolo_variables, _pad_to(frames_dev, _bucket(t_c)),
                 conf=self.conf, dtype=self.dtype, fuse=self._fuse)
         if self._chunk_spec is not None:
-            has, raw, _ = _yolo_chunk_gray(self.yolo_variables, g_pad,
+            has, raw, _ = _yolo_chunk_gray(self.yolo_gray_variables, g_pad,
                                            conf=self.conf, dtype=self.dtype,
                                            fuse=self._fuse)
             return has, raw
-        return _stream_yolo_chunk(self.yolo_variables, g_pad,
+        return _stream_yolo_chunk(self.yolo_gray_variables, g_pad,
                                   conf=self.conf, dtype=self.dtype,
                                   fuse=self._fuse)
 
@@ -1082,7 +1134,7 @@ class GlottalPipelines:
         return kinematic_features(areas)
 
 
-@partial(jax.jit, static_argnames=("dtype", "fuse"))
+@_jit_hot(static_argnames=("dtype", "fuse"))
 def _unet_probs_chunk(variables, gray01_256, dtype=jnp.bfloat16,
                       fuse: bool = False):
     """U-Net probabilities on already-resized (C, 256, 256) float frames

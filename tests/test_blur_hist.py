@@ -75,3 +75,30 @@ def test_masked_percentile_sorted_matches_hist():
                 np.testing.assert_allclose(float(sv), float(hv), atol=1e-5)
                 np.testing.assert_allclose(
                     float(sv), np.percentile(v[m], q), atol=1e-4)
+
+
+def test_masked_percentile_bitsearch_matches_numpy():
+    """The batched bit-search percentile (production tracker path) must
+    equal np.percentile exactly on integer-valued frames — every frame in
+    the batch, tiny/empty masks included."""
+    import jax.numpy as jnp
+    from openglottal_tpu.ops.histogram import masked_percentile_u8_batch
+
+    rng = np.random.default_rng(7)
+    t = 12
+    v = rng.integers(0, 256, (t, 16, 48)).astype(np.float32)
+    m = np.stack([rng.random((16, 48)) < d
+                  for d in np.linspace(0.0, 0.6, t)])
+    m[1] = False                      # empty mask frame
+    m[2] = False
+    m[2, 3, 7] = True                 # single-pixel mask
+    for q in (0.0, 5.0, 30.0, 50.0, 95.0, 100.0):
+        vals, ns = masked_percentile_u8_batch(
+            jnp.asarray(v), jnp.asarray(m), q)
+        vals, ns = np.asarray(vals), np.asarray(ns)
+        for i in range(t):
+            assert int(ns[i]) == int(m[i].sum())
+            if m[i].any():
+                np.testing.assert_allclose(
+                    vals[i], np.percentile(v[i][m[i]], q), atol=1e-4,
+                    err_msg=f"frame {i} q {q}")

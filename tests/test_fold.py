@@ -64,6 +64,29 @@ def test_yolo_fold_matches():
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_gray_stem_fold_matches_broadcast():
+    """fold_gray_stem: conv(bcast3(x), k) == conv(x, k.sum(axis=2)) — the
+    1-channel stem must reproduce the replicated-channel path to float
+    tolerance (exact up to one rounding of the summed kernel)."""
+    from openglottal_tpu.models.fold import fold_gray_stem, yolo_stem_cin
+
+    _, variables = init_yolo(jax.random.PRNGKey(2), dtype=jnp.float32)
+    gray = jnp.asarray(RNG.random((2, 64, 64, 1)), jnp.float32)
+    x3 = jnp.broadcast_to(gray, gray.shape[:3] + (3,))
+    ref = YOLOv8(nc=1, dtype=jnp.float32).apply(variables, x3, train=False)
+    gv = fold_gray_stem(variables)
+    assert yolo_stem_cin(gv) == 1 and yolo_stem_cin(variables) == 3
+    out = YOLOv8(nc=1, dtype=jnp.float32).apply(gv, gray, train=False)
+    for (rb, rc), (ob, oc) in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(ob), np.asarray(rb),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(oc), np.asarray(rc),
+                                   rtol=1e-4, atol=1e-4)
+    # idempotent + composes with BN folding
+    assert fold_gray_stem(gv) is gv
+    assert yolo_stem_cin(fold_gray_stem(fold_yolo(variables))) == 1
+
+
 def test_fold_idempotent_without_stats():
     _, variables = init_unet(jax.random.PRNGKey(0), dtype=jnp.float32)
     folded = fold_unet(variables)
