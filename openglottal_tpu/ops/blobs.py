@@ -396,7 +396,9 @@ def top_n_blobs_batch(masks, n: int, iters: int = 4096):
 
     # rank by fg pixel count (ties -> smaller label), keep n, paint the union
     om = jnp.where(masks, owner, big).reshape(t, hw)
-    s = jnp.sort(om, axis=1)
+    # unstable sort: same values (scalar keys), ~1.6x faster on TPU than the
+    # default stable sort (49 vs 77 ms for (512, 65536) i32 — perf_probe6)
+    s = jax.lax.sort(om, dimension=1, is_stable=False)
     pos = jnp.arange(hw, dtype=jnp.int32)[None, :]
     bnd = jnp.concatenate(
         [jnp.ones((t, 1), bool), s[:, 1:] != s[:, :-1]], axis=1)

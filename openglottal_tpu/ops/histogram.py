@@ -10,6 +10,7 @@ of the reference would be a dynamic shape under jit).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -21,7 +22,7 @@ def masked_histogram_u8(values, mask):
     ms per 512-frame batch), while batched sort + searchsorted stays ~1 ms.
     Counts are exact either way."""
     v = jnp.where(mask.reshape(-1), values.reshape(-1).astype(jnp.int32), 256)
-    s = jnp.sort(v)
+    s = jax.lax.sort(v, is_stable=False)  # same values, faster on TPU
     edges = jnp.searchsorted(s, jnp.arange(257, dtype=jnp.int32), side="left")
     return (edges[1:] - edges[:-1]).astype(jnp.float32)
 
@@ -57,7 +58,7 @@ def masked_percentile_sorted(values, mask, q):
     v = values.reshape(-1).astype(jnp.float32)
     m = mask.reshape(-1)
     n = m.sum().astype(jnp.float32)
-    s = jnp.sort(jnp.where(m, v, jnp.float32(jnp.inf)))
+    s = jax.lax.sort(jnp.where(m, v, jnp.float32(jnp.inf)), is_stable=False)
     rank = (q / 100.0) * jnp.maximum(n - 1.0, 0.0)
     k = jnp.floor(rank)
     frac = rank - k
