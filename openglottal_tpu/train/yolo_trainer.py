@@ -2,11 +2,13 @@
 ultralytics, scripts/train_yolo.py:107-121).
 
 Data: images + one gt box per image derived from the segmentation mask with
-the reference's 10-px dilation (openglottal/data.py:28-68).  Augmentation is
-a detection-aware batched affine (flip / scale 0.5–1.5 / translate ±0.1) +
-photometric jitter — a TPU-friendly stand-in for ultralytics' mosaic+affine
-(single-object images make mosaic unnecessary; the paper's detector trained
-to Det.Recall 0.95 in 2 epochs, main.tex:319).
+the reference's 10-px dilation (openglottal/data.py:28-68).  Augmentation
+reproduces the ultralytics v8 DEFAULTS the reference trains with — mosaic4 +
+RandomPerspective(translate 0.1, scale 0.5) + HSV(0.015/0.7/0.4) + fliplr,
+with the close_mosaic=10 switch-off schedule — batched on device
+(train/yolo_aug.py; the paper pins "default YOLOv8 augmentation",
+main.tex:319).  The close-mosaic phase (and ``mosaic=False``) runs the
+single-image affine+photometric ``augment_det_batch``.
 
 Optimizer: AdamW + cosine (same family as the U-Net recipe; ultralytics
 auto-selects AdamW for small datasets too).
@@ -103,19 +105,30 @@ def augment_det_batch(key, imgs, boxes, valid):
     return imgs, boxes, valid
 
 
-@partial(jax.jit, static_argnames=("model", "tx"))
+@partial(jax.jit, static_argnames=("model", "tx", "mosaic"))
 def yolo_train_step(model: YOLOv8, tx, state: YoloTrainState, imgs_u8,
-                    boxes, valid, key):
-    x = imgs_u8.astype(jnp.float32) / 255.0
-    x, bx, vd = augment_det_batch(key, x, boxes, valid)
+                    boxes, valid, key, mosaic: bool = False):
+    """One AdamW step.  ``mosaic=False``: imgs (B, S, S, 3), one gt per
+    image (close-mosaic phase: single-image affine+photometric,
+    augment_det_batch).  ``mosaic=True``: imgs (B, 4, S, S, 3) — each
+    sample plus 3 dataset-uniform partners — through the ultralytics-default
+    mosaic4 + affine + HSV + flip (train/yolo_aug.py), up to 4 gt boxes per
+    image into the multi-gt TAL loss."""
+    if mosaic:
+        from openglottal_tpu.train.yolo_aug import mosaic_affine_hsv
+
+        x, bx, vd = mosaic_affine_hsv(key, imgs_u8, boxes, valid)
+    else:
+        x = imgs_u8.astype(jnp.float32) / 255.0
+        x, bx1, vd1 = augment_det_batch(key, x, boxes, valid)
+        bx, vd = bx1[:, None, :], vd1[:, None]
 
     def loss_fn(params):
         outs, updates = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             x, train=True, mutable=["batch_stats"],
         )
-        total, parts = yolo_loss(outs, bx[:, None, :], vd[:, None],
-                                 x.shape[1], x.shape[2])
+        total, parts = yolo_loss(outs, bx, vd, x.shape[1], x.shape[2])
         return total, (updates["batch_stats"], parts)
 
     (l, (bs, parts)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -143,14 +156,25 @@ class YoloTrainer:
                               opt_state=self.tx.init(params), step=jnp.asarray(0))
 
     def set_lr(self, state, lr):
-        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-        return state
+        # pure rebuild — mutating opt_state.hyperparams in place would alias
+        # every YoloTrainState sharing the dict (see unet_trainer.set_lr)
+        opt_state = state.opt_state._replace(hyperparams={
+            **state.opt_state.hyperparams,
+            "learning_rate": jnp.asarray(lr, jnp.float32),
+        })
+        return state.replace(opt_state=opt_state)
 
     def fit(self, imgs_rgb_u8, boxes, val_imgs=None, val_boxes=None,
             epochs: int = 100, ckpt_dir=None, verbose=True,
-            state: YoloTrainState | None = None):
+            state: YoloTrainState | None = None, mosaic: bool = True,
+            close_mosaic: int = 10):
         """imgs_rgb_u8: (N, 256, 256, 3) uint8 RGB; boxes: (N, 4) xyxy px
-        (-1 rows = no object)."""
+        (-1 rows = no object).
+
+        ``mosaic``/``close_mosaic`` follow ultralytics defaults: mosaic4 on
+        every epoch except the final ``close_mosaic`` ones (with the paper's
+        2-epoch recipe the switch-off never fires — epochs - close_mosaic
+        < 0 — exactly like ultralytics; paper/main.tex:319)."""
         import math
 
         if state is None:
@@ -163,21 +187,34 @@ class YoloTrainer:
         order_rng = np.random.default_rng(42)  # seed 42 like the reference splits
         history = []
         warmup = min(3, max(1, epochs // 10))  # ultralytics-style lr warmup
+        mosaic_off_at = epochs - close_mosaic  # ultralytics trainer semantics
         for epoch in range(epochs):
             lr = self.lr0 * (1 + math.cos(math.pi * epoch / epochs)) / 2
             if epoch < warmup:
                 lr = self.lr0 * (epoch + 1) / (warmup + 1)
             state = self.set_lr(state, lr)
+            use_mosaic = mosaic and not (0 <= mosaic_off_at <= epoch)
             perm = order_rng.permutation(n)
             losses = []
             t0 = time.time()
             # natural-size tail batch: torch DataLoader drop_last=False
             # semantics (one extra jit specialization for the tail shape)
             for i in range(0, n, bs):
-                idx = jnp.asarray(perm[i:i + bs])
+                idx = perm[i:i + bs]
                 k, self.rng = jax.random.split(self.rng)
-                state, l, parts = yolo_train_step(
-                    self.model, self.tx, state, imgs[idx], bx[idx], vd[idx], k)
+                if use_mosaic:
+                    # 3 dataset-uniform partners per sample (ultralytics
+                    # samples partner indices uniformly from the dataset)
+                    partners = order_rng.integers(0, n, (len(idx), 3))
+                    quad = jnp.asarray(
+                        np.concatenate([idx[:, None], partners], axis=1))
+                    state, l, parts = yolo_train_step(
+                        self.model, self.tx, state, imgs[quad], bx[quad],
+                        vd[quad], k, mosaic=True)
+                else:
+                    j = jnp.asarray(idx)
+                    state, l, parts = yolo_train_step(
+                        self.model, self.tx, state, imgs[j], bx[j], vd[j], k)
                 losses.append((l, len(idx)))
             rec = {"epoch": epoch + 1,
                    "loss/train": (float(sum(float(l) * t for l, t in losses)

@@ -34,6 +34,10 @@ def main() -> None:
     p.add_argument("--dilate", type=int, default=10)
     p.add_argument("--output-dir", default="outputs/yolo")
     p.add_argument("--resume", default=None)
+    p.add_argument("--no-mosaic", action="store_true",
+                   help="Disable mosaic4 (ultralytics default is on).")
+    p.add_argument("--close-mosaic", type=int, default=10,
+                   help="Disable mosaic for the last N epochs (ultralytics default 10).")
     args = p.parse_args()
 
     from openglottal_tpu.data.dataset import load_split_json
@@ -66,6 +70,8 @@ def main() -> None:
             jnp.asarray, variables["params"]))
 
     state, history = trainer.fit(tr_i, tr_b, va_i, va_b, epochs=args.epochs,
+                                 mosaic=not args.no_mosaic,
+                                 close_mosaic=args.close_mosaic,
                                  ckpt_dir=args.output_dir, state=state)
     print(json.dumps({"final_val_recall": history[-1].get("recall/val")}))
 
