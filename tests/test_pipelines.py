@@ -148,3 +148,24 @@ def test_tracker_routing_parallel_matches_scan(pipe, video):
         a_seq = seq.run_pipeline_full(video, p)[3]
         np.testing.assert_allclose(np.asarray(a_par), np.asarray(a_seq),
                                    atol=2.0, err_msg=p)
+
+
+def test_jit_hot_cpu_path_and_lower():
+    """_jit_hot resolves per backend at call time: on the CPU test backend it
+    must run the plain-jit variant (the TPU compiler option would be
+    rejected), and .lower must delegate (bench.py cost analysis relies on
+    it)."""
+    import jax.numpy as jnp
+
+    from openglottal_tpu.pipelines import _jit_hot, _unet_chunk
+
+    @_jit_hot(static_argnames=("k",))
+    def f(x, k: int = 2):
+        return x * k
+
+    out = f(jnp.arange(4.0), k=3)
+    np.testing.assert_allclose(np.asarray(out), [0, 3, 6, 9])
+    lowered = f.lower(jnp.arange(4.0), k=3)
+    assert "flops" in (lowered.compile().cost_analysis() or {"flops": 0})
+    # the real hot fn exposes .lower too
+    assert hasattr(_unet_chunk, "lower")
