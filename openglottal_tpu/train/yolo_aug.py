@@ -80,8 +80,10 @@ def _mosaic_one(key, imgs, boxes, valid, s, translate, scale, hgain, sgain,
     valid (4,))."""
     kc, ks, kt, kh, kf = jax.random.split(key, 5)
 
-    # mosaic centre (ultralytics: uniform over the middle of the 2S canvas)
-    xc, yc = jax.random.uniform(kc, (2,), minval=0.5 * s, maxval=1.5 * s)
+    # mosaic centre (ultralytics: int(uniform) over the middle of the 2S
+    # canvas — integer, so tile placement and box shift agree exactly)
+    xc, yc = jnp.floor(
+        jax.random.uniform(kc, (2,), minval=0.5 * s, maxval=1.5 * s))
 
     # mega-image: the 4 tiles at fixed quadrants; a canvas pixel maps into
     # exactly one tile (or the gray border) by an integer shift per quadrant

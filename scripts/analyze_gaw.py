@@ -91,24 +91,17 @@ def main() -> None:
 
     from openglottal_tpu.data.prefetch import prefetch_to_device
 
-    # double buffering: decode+transfer of patient i+1 overlaps compute of
-    # patient i — the study is tunnel-bandwidth-bound otherwise
-    for name, status, prep in prefetch_to_device(patient_stream(), size=2,
-                                                 put=_put):
+    def _finish(name, status, areas_dev):
+        """Fetch one patient's dispatched waveform and record its features
+        (the device->host readback is the only sync point per patient)."""
         try:
-            if isinstance(prep, Exception):
-                raise prep
-            frames_dev, gray = prep
-            areas = np.asarray(
-                pipe.yolo_unet_areas_gray(gray) if frames_dev is None
-                else pipe.yolo_unet_areas(frames_dev, gray_u8=gray))
-            feats = kinematic_features(areas)
+            feats = kinematic_features(np.asarray(areas_dev))
         except Exception as e:  # noqa: BLE001
             print(f"  WARNING: {name}: failed ({type(e).__name__}: {e})")
-            continue
+            return
         if feats is None:
             print(f"  WARNING: {name}: silent waveform")
-            continue
+            return
         if feats["f0"] is not None:
             feats["f0"] = feats["f0"] * CAPTURE_FPS
         rec = {"patient": name, "status": status,
@@ -117,6 +110,30 @@ def main() -> None:
         print(f"  {name:<16} {status:<12} "
               + " ".join(f"{k}={feats[k]:.3f}" if isinstance(feats[k], float)
                          else f"{k}=None" for k in FEATURES), flush=True)
+
+    # software pipeline: decode+transfer of patient i+1 overlaps compute of
+    # patient i (prefetch), and patient i's waveform is fetched only while
+    # i+1's dispatch is in flight — the per-video dispatch+readback
+    # round-trip (~40 ms through the TPU relay, results/PROFILE_r03.md)
+    # overlaps compute instead of serializing the study
+    pending = None
+    for name, status, prep in prefetch_to_device(patient_stream(), size=2,
+                                                 put=_put):
+        try:
+            if isinstance(prep, Exception):
+                raise prep
+            frames_dev, gray = prep
+            areas_dev = (
+                pipe.yolo_unet_areas_gray(gray) if frames_dev is None
+                else pipe.yolo_unet_areas(frames_dev, gray_u8=gray))
+        except Exception as e:  # noqa: BLE001
+            print(f"  WARNING: {name}: failed ({type(e).__name__}: {e})")
+            continue
+        if pending is not None:
+            _finish(*pending)
+        pending = (name, status, areas_dev)
+    if pending is not None:
+        _finish(*pending)
 
     with open(out_dir / "gaw_features.json", "w") as f:
         json.dump(records, f, indent=2)
