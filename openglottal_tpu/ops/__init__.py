@@ -13,6 +13,7 @@ from openglottal_tpu.ops.blur import gaussian_blur  # noqa: F401
 from openglottal_tpu.ops.histogram import (  # noqa: F401
     masked_histogram_u8,
     masked_percentile_u8,
+    masked_percentile_u8_batch,
     otsu_threshold,
 )
 from openglottal_tpu.ops.metrics import dice, iou, dice_loss  # noqa: F401
