@@ -392,7 +392,16 @@ def top_n_blobs_batch(masks, n: int, iters: int = 4096):
     hole_pix = bg & (nh == 1) & (fgp != big)
 
     union = masks | hole_pix
-    owner = _propagate_batch(union, iters, connectivity=8)
+    # warm-started CC of the union: seeding mask pixels with their already-
+    # converged labF collapses every mask sub-component to its root value
+    # up front, so the fixpoint only has to propagate across the hole
+    # bridges (a few sweeps) instead of re-labelling from scratch.  Exactly
+    # the same fixpoint: min-over-component of the seeds = min(labF roots,
+    # hole pixel indices) = the component's min flat index, because every
+    # mask pixel's index >= its labF root.
+    owner = _min_prop_batch(
+        union, jnp.where(masks, labF, jnp.where(hole_pix, idx, big)),
+        8, iters)
 
     # rank by fg pixel count (ties -> smaller label), keep n, paint the union
     om = jnp.where(masks, owner, big).reshape(t, hw)
