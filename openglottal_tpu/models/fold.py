@@ -105,6 +105,37 @@ def fold_gray_stem(yolo_variables: dict) -> dict:
     return out
 
 
+UNET_STEM = ("DoubleConv_0", "Conv_0")
+YOLO_STEM = ("ConvBNSiLU_0", "Conv_0")
+
+
+def absorb_u8_scale(variables: dict, stem: tuple[str, ...]):
+    """Fold the /255 input normalisation into the stem conv kernel.
+
+    Convolution is linear in its input, so ``conv(x/255, k) == conv(x,
+    k/255)`` — scaling the stem kernel lets the pipelines feed raw 0..255
+    pixel values and skip the full-tensor normalisation pass between the
+    uint8 decode and the first conv (one fewer elementwise HBM round-trip
+    per model per chunk on TPU).  uint8 values are exact in bfloat16, so
+    this trades a per-PIXEL rounding of x/255 for a per-WEIGHT rounding of
+    k/255 — same math, one reassociation (pinned by tests/test_fold.py).
+
+    Called inside jitted graphs: the scale is a (3, 3, cin, cout) multiply,
+    negligible next to the convs.  Only the kernel is scaled — a folded
+    bias (models/fold.fold_batchnorm) adds after the conv and is untouched.
+    """
+    params = variables["params"]
+    out = dict(variables)
+    node = out["params"] = dict(params)
+    for name in stem[:-1]:
+        node[name] = dict(node[name])
+        node = node[name]
+    leaf = dict(node[stem[-1]])
+    leaf["kernel"] = leaf["kernel"] * (1.0 / 255.0)
+    node[stem[-1]] = leaf
+    return out
+
+
 def yolo_stem_cin(yolo_variables: dict) -> int:
     """Static input-channel count of the YOLO stem conv (1 after
     :func:`fold_gray_stem`, 3 otherwise) — lets jitted chunk functions pick

@@ -362,15 +362,37 @@ def top_n_blobs_batch(masks, n: int, iters: int = 4096):
     idx = jnp.arange(hw, dtype=jnp.int32).reshape(1, h, w)
     bg = ~masks
 
-    labF = _propagate_batch(masks, iters, connectivity=8)
-    labB = _propagate_batch(bg, iters, connectivity=4)
+    # mask (8-conn) and background (4-conn) are disjoint regions, so on TPU
+    # each CC/broadcast PAIR merges into ONE dual-region fixpoint kernel
+    # (blobs_pallas._make_dual_batch_kernel): one launch converging in the
+    # MAX of the two regions' sweep counts instead of two paying the SUM
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from openglottal_tpu.ops.blobs_pallas import (
+            dual_cc_pallas_batch,
+            dual_min_prop_pallas_batch,
+        )
+
+        code = jnp.where(masks, jnp.int32(1), jnp.int32(2))
+        labFB = dual_cc_pallas_batch(code, max(iters, 64) * 8)
+        labF = jnp.where(masks, labFB, big)
+        labB = jnp.where(bg, labFB, big)
+    else:
+        labF = _propagate_batch(masks, iters, connectivity=8)
+        labB = _propagate_batch(bg, iters, connectivity=4)
 
     # enclosing fg comp per bg pixel / surrounding bg comp per fg pixel
     fgp_seed = jnp.where(bg & (labB == idx), _shift_down_frame(labF, big), big)
-    fgp = _min_prop_batch(bg, fgp_seed, 4, iters, labels=labB)
     bgp_seed = jnp.where(masks & (labF == idx), _shift_down_frame(labB, big),
                          big)
-    bgp = _min_prop_batch(masks, bgp_seed, 8, iters, labels=labF)
+    if on_tpu:
+        parent = dual_min_prop_pallas_batch(
+            code, jnp.where(masks, bgp_seed, fgp_seed), max(iters, 64) * 8)
+        fgp = jnp.where(bg, parent, big)
+        bgp = jnp.where(masks, parent, big)
+    else:
+        fgp = _min_prop_batch(bg, fgp_seed, 4, iters, labels=labB)
+        bgp = _min_prop_batch(masks, bgp_seed, 8, iters, labels=labF)
 
     # hole violation: an 8-adjacent fg comp that is neither my enclosing comp
     # nor nested inside my comp

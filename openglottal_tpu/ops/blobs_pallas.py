@@ -229,6 +229,173 @@ def _make_batch_kernel(b: int, h: int, w: int, connectivity: int,
     return kernel
 
 
+def _make_dual_batch_kernel(b: int, h: int, w: int, max_iters: int,
+                            with_init: bool = False):
+    """Min-propagation fixpoint over TWO DISJOINT regions in one kernel.
+
+    ``code`` (B, H, W) int32 marks each pixel's region: 1 propagates
+    8-connected, 2 propagates 4-connected, 0 is inactive.  Because the
+    regions are disjoint (here: tracker mask vs its background), one label
+    grid holds both propagations and one convergence loop drives them —
+    replacing two kernel launches (and the SUM of their sweep counts) with
+    one launch converging in the MAX.  Values never cross regions:
+
+      * the segmented-scan ladder extends a run only while the region code
+        is unchanged, and masks the partner aggregate to ``big`` unless the
+        source pixel's code matches (the binary kernel relied on background
+        labels being ``big``; with two live regions the content check is
+        load-bearing);
+      * neighbour mins read each region through its own ``where(code==r)``
+        view, diagonals only through the 8-connected one.
+
+    Semantics are pinned equal to running the two single-region kernels
+    (tests/test_blobs_pallas.py).
+    """
+
+    def kernel(code_ref, *rest):
+        if with_init:
+            init_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
+        big = jnp.int32(h * w)
+        rmod = jax.lax.broadcasted_iota(
+            jnp.int32, (b, h, w), 1).reshape(b * h, w)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (b * h, w), 1)
+        code = code_ref[...].reshape(b * h, w)
+        active = code != 0
+        if with_init:
+            lab0 = jnp.where(active, init_ref[...].reshape(b * h, w), big)
+        else:
+            lab0 = jnp.where(active, rmod * w + cols, big)
+        top, bot = rmod == 0, rmod == h - 1          # frame-local walls
+        left, right = cols == 0, cols == w - 1
+        n_rows = b * h
+
+        def up(x, fill):
+            return jnp.where(bot, fill, pltpu.roll(x, shift=n_rows - 1, axis=0))
+
+        def down(x, fill):
+            return jnp.where(top, fill, pltpu.roll(x, shift=1, axis=0))
+
+        def lft(x, fill):
+            return jnp.where(right, fill, pltpu.roll(x, shift=w - 1, axis=1))
+
+        def rgt(x, fill):
+            return jnp.where(left, fill, pltpu.roll(x, shift=1, axis=1))
+
+        def seg_min_scan(lab, axis: int):
+            n = h if axis == 0 else w
+            size = n_rows if axis == 0 else w
+            coord = rmod if axis == 0 else cols
+
+            def ladder(backward: bool):
+                # c = region code of the window (i-k, i] when uniform, else 0
+                mv, c = lab, jnp.where(active, code, 0)
+                k = 1
+                while k < n:
+                    if backward:
+                        edge = coord >= n - k
+                        sh = size - k
+                    else:
+                        edge = coord < k
+                        sh = k
+                    mv_s = jnp.where(edge, big,
+                                     pltpu.roll(mv, shift=sh, axis=axis))
+                    c_s = jnp.where(edge, 0,
+                                    pltpu.roll(c, shift=sh, axis=axis))
+                    code_s = jnp.where(edge, 0,
+                                       pltpu.roll(code, shift=sh, axis=axis))
+                    # content check: mv[i-k] aggregates i-k's own region, so
+                    # only fold it in when i-k shares my code
+                    mv_s = jnp.where(code_s == code, mv_s, big)
+                    mv = jnp.where(c != 0, jnp.minimum(mv, mv_s), mv)
+                    c = jnp.where((c != 0) & (c_s == c), c, 0)
+                    k *= 2
+                return mv
+
+            return jnp.minimum(ladder(False), ladder(True))
+
+        is8 = code == 1
+        is4 = code == 2
+
+        def nb_min(lab):
+            lab8 = jnp.where(is8, lab, big)
+            lab4 = jnp.where(is4, lab, big)
+            # 8-conn region: separable 3x3 min over its own view
+            cmin = jnp.minimum(lab8, jnp.minimum(lft(lab8, big),
+                                                 rgt(lab8, big)))
+            nb8 = jnp.minimum(cmin, jnp.minimum(up(cmin, big),
+                                                down(cmin, big)))
+            # 4-conn region: plus-shaped min over its own view
+            nb4 = jnp.minimum(
+                jnp.minimum(lab4, jnp.minimum(lft(lab4, big), rgt(lab4, big))),
+                jnp.minimum(up(lab4, big), down(lab4, big)))
+            return jnp.where(is8, nb8, jnp.where(is4, nb4, big))
+
+        def sweep(lab):
+            lab = jnp.where(active, seg_min_scan(lab, axis=1), big)
+            lab = jnp.where(active, seg_min_scan(lab, axis=0), big)
+            return nb_min(lab)
+
+        def cond(c):
+            i, _, changed = c
+            return jnp.logical_and(changed, i < max_iters)
+
+        def body(c):
+            i, lab, _ = c
+            new = sweep(lab)
+            return i + 1, new, jnp.any(new != lab)
+
+        _, lab, _ = jax.lax.while_loop(cond, body,
+                                       (jnp.int32(0), lab0, jnp.bool_(True)))
+        out_ref[...] = lab.reshape(b, h, w)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(1,))
+def dual_cc_pallas_batch(code, max_iters: int = 65536):
+    """Per-frame CC labels for two disjoint regions in ONE fixpoint kernel.
+
+    code: (T, H, W) int32 — 1: 8-connected region, 2: 4-connected region,
+    0: inactive.  Returns (T, H, W) int32 labels (frame-local min flat index
+    per component; inactive = H*W).  Equal to running
+    :func:`connected_components_pallas_batch` per region.
+    """
+    t, h, w = code.shape
+    max_iters = min(max_iters, h * w // 2 + 2)
+    b = _group_size(t, h, w)
+    spec = pl.BlockSpec((b, h, w), lambda g: (g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_dual_batch_kernel(b, h, w, max_iters),
+        grid=(t // b,),
+        out_shape=jax.ShapeDtypeStruct((t, h, w), jnp.int32),
+        in_specs=[spec],
+        out_specs=spec,
+    )(code.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def dual_min_prop_pallas_batch(code, init, max_iters: int = 65536):
+    """Component broadcast over two disjoint regions in ONE fixpoint kernel:
+    every pixel converges to the MIN of ``init`` over its component, where
+    code-1 components are 8-connected and code-2 components 4-connected.
+    Equal to running :func:`min_prop_pallas_batch` per region."""
+    t, h, w = code.shape
+    max_iters = min(max_iters, h * w // 2 + 2)
+    b = _group_size(t, h, w)
+    spec = pl.BlockSpec((b, h, w), lambda g: (g, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_dual_batch_kernel(b, h, w, max_iters, with_init=True),
+        grid=(t // b,),
+        out_shape=jax.ShapeDtypeStruct((t, h, w), jnp.int32),
+        in_specs=[spec, spec],
+        out_specs=spec,
+    )(code.astype(jnp.int32), init.astype(jnp.int32))
+
+
 def _group_size(t: int, h: int, w: int) -> int:
     """Frames per VMEM block.  The sweep keeps ~2.3 MB live per frame at its
     peak (measured from the compiler's scoped-vmem accounting: ladder temps +

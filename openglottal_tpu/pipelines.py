@@ -38,6 +38,7 @@ from openglottal_tpu.models.tracker import (
     ygvft_scan,
     ygvft_scan_carry,
 )
+from openglottal_tpu.models.fold import UNET_STEM, YOLO_STEM, absorb_u8_scale
 from openglottal_tpu.models.unet import UNet
 from openglottal_tpu.models.yolo import YOLOv8, max_conf_detect
 from openglottal_tpu.ops.resize import (
@@ -47,6 +48,18 @@ from openglottal_tpu.ops.resize import (
     dyn_unletterbox_matrix_nearest,
     resize_bilinear,
 )
+
+def _u8_unet(variables):
+    """U-Net variables with the /255 input normalisation folded into the
+    stem kernel (models/fold.absorb_u8_scale) — the chunk functions feed raw
+    0..255 pixel values, skipping a full-tensor normalisation pass."""
+    return absorb_u8_scale(variables, UNET_STEM)
+
+
+def _u8_yolo(variables):
+    """YOLO variables with the /255 fold (see :func:`_u8_unet`)."""
+    return absorb_u8_scale(variables, YOLO_STEM)
+
 
 VFT_INIT = 2    # reference features.py:31
 YGVFT_INIT = 2  # reference features.py:32
@@ -131,9 +144,9 @@ def _unet_chunk(variables, gray_u8, dtype=jnp.bfloat16, fuse: bool = False):
     already at 256²; callers resize otherwise.
     """
     model = UNet(dtype=dtype, fuse_bn=fuse)
-    x = (gray_u8.astype(jnp.float32) / 255.0)[..., None]
-    logits = model.apply(variables, x, train=False)
-    return jax.nn.sigmoid(logits[..., 0]) > 0.5
+    x = gray_u8.astype(jnp.float32)[..., None]
+    logits = model.apply(_u8_unet(variables), x, train=False)
+    return logits[..., 0] > 0  # sigmoid(x) > 0.5  <=>  x > 0
 
 
 @_jit_hot(static_argnames=("conf", "dtype", "fuse"))
@@ -141,19 +154,20 @@ def _yolo_chunk(variables, bgr_u8, conf: float = 0.25, dtype=jnp.bfloat16,
                 fuse: bool = False):
     """YOLO max-conf detection on a chunk of 256² BGR frames."""
     model = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
-    x = bgr_u8[..., ::-1].astype(jnp.float32) / 255.0
-    outs = model.apply(variables, x, train=False)
+    x = bgr_u8[..., ::-1].astype(jnp.float32)
+    outs = model.apply(_u8_yolo(variables), x, train=False)
     h, w = x.shape[1:3]
     return max_conf_detect(outs, h, w, conf)
 
 
 def _gray_stem_input(variables, gray_u8):
-    """Normalised model input for monochrome frames, matched to the stem's
+    """Raw-pixel model input for monochrome frames (the /255 normalisation
+    lives in the stem kernel — :func:`_u8_yolo`), matched to the stem's
     static input-channel count: 1 for ``fold_gray_stem``-folded variables
     (the kernel-summed stem skips reading 3x the input), 3 otherwise
     (channels replicated on device — bit-identical to the BGR path for
     equal-channel sources)."""
-    x = (gray_u8.astype(jnp.float32) / 255.0)[..., None]
+    x = gray_u8.astype(jnp.float32)[..., None]
     cin = variables["params"]["ConvBNSiLU_0"]["Conv_0"]["kernel"].shape[2]
     if cin == 3:
         x = jnp.broadcast_to(x, x.shape[:3] + (3,))
@@ -173,7 +187,7 @@ def _yolo_chunk_gray(variables, gray_u8, conf: float = 0.25,
     stem kernel."""
     model = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
     x = _gray_stem_input(variables, gray_u8)
-    outs = model.apply(variables, x, train=False)
+    outs = model.apply(_u8_yolo(variables), x, train=False)
     h, w = x.shape[1:3]
     return max_conf_detect(outs, h, w, conf)
 
@@ -197,11 +211,12 @@ def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
     unet = UNet(dtype=dtype, fuse_bn=fuse)
     yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
 
+    uv, yv = _u8_unet(unet_variables), _u8_yolo(yolo_variables)
+
     def per_chunk(g):
-        x = (g.astype(jnp.float32) / 255.0)[..., None]
-        masks = jax.nn.sigmoid(
-            unet.apply(unet_variables, x, train=False)[..., 0]) > 0.5
-        outs = yolo.apply(yolo_variables, _gray_stem_input(yolo_variables, g),
+        x = g.astype(jnp.float32)[..., None]
+        masks = unet.apply(uv, x, train=False)[..., 0] > 0  # sigmoid>0.5
+        outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
                           train=False)
         has, box, cf = max_conf_detect(outs, h, w, conf)
         return masks, has, box
@@ -212,6 +227,56 @@ def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
     raw = raw.reshape(t_pad, 4)
     valid, boxes = gate_scan(has, raw, h, w, params=gate_params)
     return _box_area_sums(masks, valid, boxes)
+
+
+@_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse"))
+def _fused_yolo_unet_video_q(qparams, yolo_variables, gray_u8, t_real,
+                             conf: float, dtype, gate_params: GateParams,
+                             fuse: bool = False):
+    """int8-UNet variant of :func:`_fused_yolo_unet_video` (opt-in serving
+    mode, ``GlottalPipelines(quant="int8")``).
+
+    The U-Net masks come from the post-training-quantized forward
+    (models/quant.qunet_masks — s8xs8->s32 convs, 1.5-3.5x faster per layer
+    on TPU v5e, scripts/perf_probe7.py); the YOLO detector stays bf16 (5% of
+    the pipeline FLOPs, and the gate consumes its boxes unchanged).
+    """
+    t_pad = gray_u8.shape[0]
+    h, w = gray_u8.shape[1:]
+    chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
+    yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
+    yv = _u8_yolo(yolo_variables)
+
+    from openglottal_tpu.models.quant import qunet_masks
+
+    def per_chunk(g):
+        masks = qunet_masks(qparams, g)
+        outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
+                          train=False)
+        has, box, _ = max_conf_detect(outs, h, w, conf)
+        return masks, has, box
+
+    masks, has, raw = jax.lax.map(per_chunk, chunks)
+    masks = masks.reshape(t_pad, h, w)
+    has = has.reshape(t_pad) & (jnp.arange(t_pad) < t_real)
+    raw = raw.reshape(t_pad, 4)
+    valid, boxes = gate_scan(has, raw, h, w, params=gate_params)
+    return _box_area_sums(masks, valid, boxes)
+
+
+@_jit_hot(static_argnames=())
+def _fused_unet_only_video_q(qparams, gray_u8):
+    """int8 variant of :func:`_fused_unet_only_video` (pipeline 5)."""
+    from openglottal_tpu.models.quant import qunet_masks
+
+    t_pad = gray_u8.shape[0]
+    h, w = gray_u8.shape[1:]
+    chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
+
+    def per_chunk(g):
+        return qunet_masks(qparams, g).sum((1, 2)).astype(jnp.float32)
+
+    return jax.lax.map(per_chunk, chunks).reshape(t_pad)
 
 
 @_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse"))
@@ -232,10 +297,10 @@ def _sharded_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
     t_pad, h, w = gray_u8.shape
     unet = UNet(dtype=dtype, fuse_bn=fuse)
     yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
-    x = (gray_u8.astype(jnp.float32) / 255.0)[..., None]
-    masks = jax.nn.sigmoid(
-        unet.apply(unet_variables, x, train=False)[..., 0]) > 0.5
-    outs = yolo.apply(yolo_variables,
+    x = gray_u8.astype(jnp.float32)[..., None]
+    masks = unet.apply(_u8_unet(unet_variables), x,
+                       train=False)[..., 0] > 0  # sigmoid>0.5
+    outs = yolo.apply(_u8_yolo(yolo_variables),
                       _gray_stem_input(yolo_variables, gray_u8), train=False)
     has, raw, _ = max_conf_detect(outs, h, w, conf)
     has = has & (jnp.arange(t_pad) < t_real)
@@ -253,8 +318,10 @@ def _stream_yolo_chunk(yolo_variables, gray_u8, conf: float, dtype,
     chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
     yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
 
+    yv = _u8_yolo(yolo_variables)
+
     def per_chunk(g):
-        outs = yolo.apply(yolo_variables, _gray_stem_input(yolo_variables, g),
+        outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
                           train=False)
         has, box, _ = max_conf_detect(outs, h, w, conf)
         return has, box
@@ -274,9 +341,11 @@ def _stream_yolo_chunk_bgr(yolo_variables, bgr_u8, conf: float, dtype,
     chunks = bgr_u8.reshape(t_pad // CHUNK, CHUNK, h, w, 3)
     yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
 
+    yv = _u8_yolo(yolo_variables)
+
     def per_chunk(f):
-        x = f[..., ::-1].astype(jnp.float32) / 255.0
-        outs = yolo.apply(yolo_variables, x, train=False)
+        x = f[..., ::-1].astype(jnp.float32)
+        outs = yolo.apply(yv, x, train=False)
         has, box, _ = max_conf_detect(outs, h, w, conf)
         return has, box
 
@@ -294,10 +363,11 @@ def _stream_unet_masks_chunk(unet_variables, gray_u8, dtype,
     chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
     unet = UNet(dtype=dtype, fuse_bn=fuse)
 
+    uv = _u8_unet(unet_variables)
+
     def per_chunk(g):
-        x = (g.astype(jnp.float32) / 255.0)[..., None]
-        return jax.nn.sigmoid(
-            unet.apply(unet_variables, x, train=False)[..., 0]) > 0.5
+        x = g.astype(jnp.float32)[..., None]
+        return unet.apply(uv, x, train=False)[..., 0] > 0  # sigmoid>0.5
 
     return jax.lax.map(per_chunk, chunks).reshape(t_pad, h, w)
 
@@ -315,11 +385,12 @@ def _stream_yolo_unet_chunk(unet_variables, yolo_variables, gray_u8,
     unet = UNet(dtype=dtype, fuse_bn=fuse)
     yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
 
+    uv, yv = _u8_unet(unet_variables), _u8_yolo(yolo_variables)
+
     def per_chunk(g):
-        x = (g.astype(jnp.float32) / 255.0)[..., None]
-        masks = jax.nn.sigmoid(
-            unet.apply(unet_variables, x, train=False)[..., 0]) > 0.5
-        outs = yolo.apply(yolo_variables, _gray_stem_input(yolo_variables, g),
+        x = g.astype(jnp.float32)[..., None]
+        masks = unet.apply(uv, x, train=False)[..., 0] > 0  # sigmoid>0.5
+        outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
                           train=False)
         has, box, _ = max_conf_detect(outs, h, w, conf)
         return masks, has, box
@@ -339,10 +410,11 @@ def _fused_unet_only_video(unet_variables, gray_u8, dtype,
     chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
     unet = UNet(dtype=dtype, fuse_bn=fuse)
 
+    uv = _u8_unet(unet_variables)
+
     def per_chunk(g):
-        x = (g.astype(jnp.float32) / 255.0)[..., None]
-        masks = jax.nn.sigmoid(
-            unet.apply(unet_variables, x, train=False)[..., 0]) > 0.5
+        x = g.astype(jnp.float32)[..., None]
+        masks = unet.apply(uv, x, train=False)[..., 0] > 0  # sigmoid>0.5
         return masks.sum((1, 2)).astype(jnp.float32)
 
     return jax.lax.map(per_chunk, chunks).reshape(t_pad)
@@ -386,8 +458,8 @@ def _crop_unet_chunk(variables, gray_u8, valids, boxes, dtype=jnp.bfloat16,
     boxed = jnp.einsum("cih,chw->ciw", a_h, g)
     boxed = jnp.einsum("cjw,ciw->cij", a_w, boxed)
 
-    logits = model.apply(variables, (boxed / 255.0)[..., None], train=False)
-    m256 = (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.float32)
+    logits = model.apply(_u8_unet(variables), boxed[..., None], train=False)
+    m256 = (logits[..., 0] > 0).astype(jnp.float32)  # sigmoid>0.5
 
     b_h = jax.vmap(lambda s, l, p, c: dyn_unletterbox_matrix_nearest(h, 256, s, l, p, c))(
         y1, ch, pad_t, c_h
@@ -446,7 +518,8 @@ class GlottalPipelines:
                  vft_params: VFTParams = VFTParams(),
                  ygvft_params: YGVFTParams = YGVFTParams(),
                  dtype=jnp.bfloat16, mesh=None,
-                 parallel_trackers: bool = True, fold_bn: bool = True):
+                 parallel_trackers: bool = True, fold_bn: bool = True,
+                 quant: str | None = None):
         # inference BatchNorm folding (models/fold.py): scale/shift
         # pre-multiplied into conv weights — one fewer HBM round-trip per
         # conv on TPU, numerics equal up to float reassociation.  Applied
@@ -489,6 +562,19 @@ class GlottalPipelines:
         # tests/test_tracker.py) — the production default; the sequential
         # scans remain as the off-fast-path fallback.
         self.parallel_trackers = parallel_trackers
+        # opt-in int8 serving mode (models/quant.py): the U-Net in the two
+        # hot monochrome whole-video paths runs post-training-quantized
+        # (1.5-3.5x faster per conv on TPU v5e, scripts/perf_probe7.py).
+        # Calibration is lazy — the first processed video's frames — or
+        # explicit via :meth:`calibrate`.  The default (quant=None) and all
+        # eval paths stay bf16, reference-faithful.
+        if quant not in (None, "int8"):
+            raise ValueError(f"quant must be None or 'int8', got {quant!r}")
+        if quant == "int8" and not self._fuse:
+            raise ValueError("quant='int8' needs BN-folded U-Net variables "
+                             "(provide batch_stats or pre-folded weights)")
+        self._quant = quant
+        self._qparams = None
         if mesh is not None:
             # frame-axis ("sequence") sharding: each CHUNK splits over the
             # mesh's data axis; gate/feature scans consume gathered summaries
@@ -506,6 +592,23 @@ class GlottalPipelines:
             self.yolo_gray_variables = self.yolo_variables
         else:
             self._chunk_spec = None
+
+    def calibrate(self, gray_u8):
+        """Quantize the U-Net for the int8 serving mode using ``gray_u8``
+        ((N, 256, 256) uint8) as the activation-range calibration set.
+        Called lazily with the first video's frames if not called up front.
+        """
+        from openglottal_tpu.models.quant import quantize_unet
+
+        self._qparams = quantize_unet(self.unet_variables,
+                                      np.asarray(gray_u8)[:64])
+        return self
+
+    def _q(self, gray):
+        """qparams for the int8 paths, calibrating on ``gray`` if needed."""
+        if self._qparams is None:
+            self.calibrate(jax.device_get(gray))
+        return self._qparams
 
     # ── chunked model passes ──────────────────────────────────────────────
 
@@ -666,6 +769,9 @@ class GlottalPipelines:
                                     self._seg_put(gray, t), dtype=self.dtype,
                                     fuse=self._fuse)
                 return masks[:t].sum((1, 2)).astype(jnp.float32)
+            if self._quant == "int8":
+                return _fused_unet_only_video_q(
+                    self._q(gray), _pad_to(gray, _bucket(t)))[:t]
             return _fused_unet_only_video(
                 self.unet_variables, _pad_to(gray, _bucket(t)), self.dtype,
                 fuse=self._fuse)[:t]
@@ -693,6 +799,12 @@ class GlottalPipelines:
                 return _sharded_yolo_unet_video(
                     self.unet_variables, self.yolo_gray_variables,
                     self._seg_put(gray, t), jnp.int32(t),
+                    conf=self.conf, dtype=self.dtype,
+                    gate_params=self.gate_params, fuse=self._fuse)[:t]
+            if self._quant == "int8":
+                return _fused_yolo_unet_video_q(
+                    self._q(gray), self.yolo_gray_variables,
+                    _pad_to(gray, _bucket(t)), jnp.int32(t),
                     conf=self.conf, dtype=self.dtype,
                     gate_params=self.gate_params, fuse=self._fuse)[:t]
             return _fused_yolo_unet_video(
@@ -1140,6 +1252,6 @@ def _unet_probs_chunk(variables, gray01_256, dtype=jnp.bfloat16,
     """U-Net probabilities on already-resized (C, 256, 256) float frames
     (pixel range 0..255)."""
     model = UNet(dtype=dtype, fuse_bn=fuse)
-    x = (gray01_256.astype(jnp.float32) / 255.0)[..., None]
-    logits = model.apply(variables, x, train=False)
+    x = gray01_256.astype(jnp.float32)[..., None]
+    logits = model.apply(_u8_unet(variables), x, train=False)
     return jax.nn.sigmoid(logits[..., 0])

@@ -17,6 +17,8 @@ import jax.numpy as jnp  # noqa: E402
 from openglottal_tpu.ops.blobs_pallas import (  # noqa: E402
     connected_components_pallas,
     connected_components_pallas_batch,
+    dual_cc_pallas_batch,
+    dual_min_prop_pallas_batch,
     min_prop_pallas_batch,
 )
 
@@ -113,3 +115,40 @@ def test_pallas_min_prop_broadcasts_root_value(conn):
         roots = vals[i].reshape(-1)[labs[i][masks[i]]]
         want[i][masks[i]] = roots
     np.testing.assert_array_equal(got, want)
+
+
+def _dual_fixture():
+    """Mask/background pairs covering percolation noise, blurred blobs, and
+    the all-one / all-zero degenerate frames."""
+    h, w = 136, 256
+    frames = [RNG.random((h, w)) < p for p in (0.35, 0.5, 0.65, 0.0, 1.0)]
+    frames.append(cv2.GaussianBlur(RNG.random((h, w)).astype(np.float32),
+                                   (21, 21), 5) > 0.6)
+    masks = np.stack(frames)
+    code = np.where(masks, 1, 2).astype(np.int32)
+    return masks, code
+
+
+def test_dual_cc_matches_two_singles():
+    """One dual-region fixpoint == mask CC (8-conn) + background CC (4-conn)
+    run separately: values must not leak across the region boundary."""
+    masks, code = _dual_fixture()
+    got = np.asarray(dual_cc_pallas_batch(jnp.asarray(code)))
+    labF = np.asarray(connected_components_pallas_batch(jnp.asarray(masks), 8))
+    labB = np.asarray(connected_components_pallas_batch(jnp.asarray(~masks), 4))
+    np.testing.assert_array_equal(np.where(masks, got, labF), labF)
+    np.testing.assert_array_equal(np.where(~masks, got, labB), labB)
+
+
+def test_dual_min_prop_matches_two_singles():
+    masks, code = _dual_fixture()
+    t, h, w = masks.shape
+    init = RNG.integers(0, h * w, (t, h, w)).astype(np.int32)
+    got = np.asarray(dual_min_prop_pallas_batch(jnp.asarray(code),
+                                                jnp.asarray(init)))
+    pf = np.asarray(min_prop_pallas_batch(jnp.asarray(masks),
+                                          jnp.asarray(init), 8))
+    pb = np.asarray(min_prop_pallas_batch(jnp.asarray(~masks),
+                                          jnp.asarray(init), 4))
+    np.testing.assert_array_equal(np.where(masks, got, pf), pf)
+    np.testing.assert_array_equal(np.where(~masks, got, pb), pb)

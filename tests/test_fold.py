@@ -87,6 +87,37 @@ def test_gray_stem_fold_matches_broadcast():
     assert yolo_stem_cin(fold_gray_stem(fold_yolo(variables))) == 1
 
 
+def test_absorb_u8_scale_matches_normalized():
+    """conv(x/255, k) == conv(x, k/255): feeding raw 0..255 pixels to
+    u8-folded stems must reproduce the normalised path to float tolerance
+    (uint8 values are exact in f32/bf16; only the stem kernel re-rounds)."""
+    from openglottal_tpu.models.fold import (
+        UNET_STEM, YOLO_STEM, absorb_u8_scale)
+
+    _, uvars = init_unet(jax.random.PRNGKey(3), dtype=jnp.float32)
+    raw = jnp.asarray(RNG.integers(0, 256, (2, 64, 64, 1)), jnp.float32)
+    ref = UNet(dtype=jnp.float32).apply(uvars, raw / 255.0, train=False)
+    out = UNet(dtype=jnp.float32).apply(
+        absorb_u8_scale(uvars, UNET_STEM), raw, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # unfolded variables pass through untouched elsewhere in the tree
+    assert uvars["params"]["DoubleConv_0"]["Conv_1"] is \
+        absorb_u8_scale(uvars, UNET_STEM)["params"]["DoubleConv_0"]["Conv_1"]
+
+    _, yvars = init_yolo(jax.random.PRNGKey(4), dtype=jnp.float32)
+    raw3 = jnp.asarray(RNG.integers(0, 256, (2, 64, 64, 3)), jnp.float32)
+    ref = YOLOv8(nc=1, dtype=jnp.float32).apply(yvars, raw3 / 255.0,
+                                                train=False)
+    out = YOLOv8(nc=1, dtype=jnp.float32).apply(
+        absorb_u8_scale(yvars, YOLO_STEM), raw3, train=False)
+    for (rb, rc), (ob, oc) in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(ob), np.asarray(rb),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(oc), np.asarray(rc),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_fold_idempotent_without_stats():
     _, variables = init_unet(jax.random.PRNGKey(0), dtype=jnp.float32)
     folded = fold_unet(variables)
