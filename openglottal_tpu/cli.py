@@ -48,6 +48,11 @@ def main(argv: list[str] | None = None) -> None:
     run_p.add_argument("--output", "-o", default="results")
     run_p.add_argument("--conf", type=float, default=None,
                        help="YOLO confidence threshold (default from config).")
+    run_p.add_argument("--quant", choices=["int8"], default=None,
+                       help="int8 serving mode: the U-Net runs post-training"
+                            "-quantized (calibrated on the input video; "
+                            "models/quant.py).  Applies to the unet/unet-only"
+                            " whole-video paths; ~1.5x faster on TPU v5e.")
     run_p.add_argument("--stream", type=int, default=0, metavar="CHUNK",
                        help="Process the video in CHUNK-frame segments with "
                             "bounded memory (all five pipelines; gate and "
@@ -128,6 +133,7 @@ def _cmd_run(parser: argparse.ArgumentParser, args) -> None:
         gate_params=cfg.gate_params(),
         vft_params=cfg.vft_params(),
         ygvft_params=cfg.ygvft_params(),
+        quant=args.quant,
     )
 
     if args.stream:

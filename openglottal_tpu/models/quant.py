@@ -10,8 +10,13 @@ fori so XLA can neither elide nor hoist iterations).
 
 Scheme (standard symmetric PTQ):
   * weights: per-OUTPUT-CHANNEL symmetric int8, sw[c] = max|w[..., c]| / 127;
-  * activations: per-tensor symmetric int8, sx calibrated as a high
-    percentile of |x| over a calibration batch run through the bf16 model;
+  * activations: per-tensor symmetric int8, sx calibrated as max|x| over a
+    calibration batch run through the bf16 model (pct=100 default — the
+    strongest drop-in fidelity on the trained selftest model: 0.99994 mask
+    agreement, Dice delta -0.0004; percentile clipping (e.g. pct=99.97)
+    measured HIGHER Dice on the synthetic domain (+0.065, accidental
+    regularization) but diverges from the bf16 model — a serving mode
+    should reproduce it, so clipping stays opt-in);
   * layer: y = conv(x8, w8) -> s32, then the f32 epilogue
     y*(sx*sw[c]) + b -> ReLU -> requantize round(y/sx_next) -> int8 (XLA
     fuses the epilogue into the conv);
@@ -89,7 +94,7 @@ def _names():
     return enc, "DoubleConv_4", dec, ups
 
 
-def quantize_unet(variables: dict, calib_gray_u8, pct: float = 99.97):
+def quantize_unet(variables: dict, calib_gray_u8, pct: float = 100.0):
     """Post-training quantization of FOLDED U-Net variables.
 
     variables: a ``fold_unet``-folded tree (Conv kernels carry biases; no
@@ -167,7 +172,7 @@ def _tap_names():
     return names
 
 
-def _bf16_taps(variables, gray_u8, pct: float = 99.97):
+def _bf16_taps(variables, gray_u8, pct: float = 100.0):
     """Run the folded bf16 U-Net on calibration frames, returning the
     ``pct``-percentile of |activation| at every tap listed by
     :func:`_tap_names` (scalars — jit-friendly, nothing big leaves HBM)."""

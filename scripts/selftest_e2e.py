@@ -98,14 +98,40 @@ def main() -> None:
             pipe, te_f[sl], te_m[sl], sequential=True)
     agg = aggregate(per_patient)
 
+    # ── int8 serving-mode accuracy gate (models/quant.py): the quantized
+    # U-Net's TRAINED-model Dice must match the bf16 model within 0.01,
+    # both measured through the SAME direct mask path ──────────────────────
+    from openglottal_tpu.models.fold import fold_unet
+    from openglottal_tpu.models.quant import quantize_unet, qunet_chunk_masks
+    from openglottal_tpu.models.unet import UNet
+    from openglottal_tpu.ops.metrics import dice as dice_fn
+
+    gray_te = np.asarray(bgr_to_gray_u8(te_f))
+    folded = fold_unet(uvars)
+    qp = quantize_unet(folded, gray_tr[:64])
+    m8 = np.asarray(qunet_chunk_masks(qp, jnp.asarray(gray_te)))
+    x16 = (jnp.asarray(gray_te).astype(jnp.float32) / 255.0)[..., None]
+    m16 = np.asarray(UNet(dtype=jnp.bfloat16, fuse_bn=True).apply(
+        folded, x16, train=False)[..., 0] > 0)
+    gt = te_m.astype(bool)
+    dice_int8 = float(np.mean([float(dice_fn(m8[i], gt[i]))
+                               for i in range(len(m8))]))
+    dice_bf16 = float(np.mean([float(dice_fn(m16[i], gt[i]))
+                               for i in range(len(m16))]))
     report = {p_: {k: v for k, v in row.items() if k not in ("dices", "ious")}
               for p_, row in agg.items()}
     report["yolo_final_recall"] = final_recall
+    report["unet_only_dice_int8"] = dice_int8
+    report["unet_only_dice_bf16_direct"] = dice_bf16
     print(json.dumps(report, indent=2))
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "report.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
 
     ok = (agg["unet-only"]["dice"] > 0.85
           and agg.get("yolo+unet", {}).get("dice", 0) > 0.8
-          and (final_recall or 0) > 0.9)
+          and (final_recall or 0) > 0.9
+          and abs(dice_int8 - dice_bf16) < 0.01)
     print("SELFTEST", "PASS" if ok else "FAIL", f"({time.time()-t0:.0f}s total)")
     sys.exit(0 if ok else 1)
 
