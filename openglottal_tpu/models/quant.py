@@ -20,15 +20,21 @@ Scheme (standard symmetric PTQ):
   * layer: y = conv(x8, w8) -> s32, then the f32 epilogue
     y*(sx*sw[c]) + b -> ReLU -> requantize round(y/sx_next) -> int8 (XLA
     fuses the epilogue into the conv);
-  * decoder skip concat: the two operands carry different scales, so the
-    concat conv runs as a SPLIT conv (linear in input channels — same
-    identity as models/unet._SplitConv3x3): conv(s8, k_s)*(ss*sw) +
-    conv(u8, k_u)*(su*sw);
+  * decoder skip concat: each skip and its upsample CALIBRATE TO ONE SHARED
+    scale (quantize_unet), so the concat is scale-consistent and the concat
+    conv is a single fused int8 conv.  (The split-conv alternative —
+    conv(s8, k_s)*(ss*sw) + conv(u8, k_u)*(su*sw), exact per-operand scales
+    — made XLA materialize a full s32 partial to HBM at every decoder
+    level: 1.07 GB write+read per 256² chunk, ~17 ms/video slower.);
   * max-pool commutes with (monotone) quantization — pooled int8 directly;
   * the stem conv (1->32, reads uint8 pixels) and the 2x2 ConvTranspose
     upsamplers stay bf16 (tiny FLOP share; the stem's 0..255 input does not
     fit int8 and zero-padding would break a shifted encoding) — their
-    OUTPUTS are quantized so every 3x3 conv runs int8;
+    OUTPUTS are quantized so every 3x3 conv runs int8.  An int8
+    GEMM+depth-to-space upsampler (DepthToSpaceUp packing, per-column
+    scales) was measured SLOWER at full-pipeline level (5.7k vs 7.1k fps
+    pipelined) — the depth-to-space transpose is an extra full-tensor HBM
+    pass, the same lesson as the bf16 d2s option (models/unet.py);
   * the 1x1 logits head consumes the last int8 activation and produces f32
     logits; masks = logits > 0 exactly as the bf16 path.
 

@@ -573,6 +573,10 @@ class GlottalPipelines:
         if quant == "int8" and not self._fuse:
             raise ValueError("quant='int8' needs BN-folded U-Net variables "
                              "(provide batch_stats or pre-folded weights)")
+        if quant is not None and mesh is not None:
+            raise ValueError("quant='int8' is single-chip for now — the "
+                             "mesh paths run the bf16 graphs (drop mesh= or "
+                             "quant=)")
         self._quant = quant
         self._qparams = None
         if mesh is not None:

@@ -141,3 +141,16 @@ def test_quantize_unet_requires_folded():
                              size=64)
     with pytest.raises(ValueError):
         quantize_unet(variables, _calib_frames(n=1))
+
+
+def test_quant_rejects_mesh_and_bad_mode():
+    """int8 is single-chip for now; unknown modes fail loudly."""
+    from openglottal_tpu.parallel.mesh import make_mesh
+    from openglottal_tpu.pipelines import GlottalPipelines
+
+    _, uv = init_unet(jax.random.PRNGKey(0), dtype=jnp.float32, size=64)
+    with pytest.raises(ValueError, match="single-chip"):
+        GlottalPipelines(unet_variables=uv, quant="int8",
+                         mesh=make_mesh(n_data=len(jax.devices()), n_model=1))
+    with pytest.raises(ValueError, match="quant"):
+        GlottalPipelines(unet_variables=uv, quant="fp8")
