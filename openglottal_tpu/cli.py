@@ -48,11 +48,14 @@ def main(argv: list[str] | None = None) -> None:
     run_p.add_argument("--output", "-o", default="results")
     run_p.add_argument("--conf", type=float, default=None,
                        help="YOLO confidence threshold (default from config).")
-    run_p.add_argument("--quant", choices=["int8"], default=None,
+    run_p.add_argument("--quant", choices=["int8", "int8-full"], default=None,
                        help="int8 serving mode: the U-Net runs post-training"
                             "-quantized (calibrated on the input video; "
                             "models/quant.py).  Applies to the unet/unet-only"
-                            " whole-video paths; ~1.5x faster on TPU v5e.")
+                            " whole-video paths; ~1.5x faster on TPU v5e.  "
+                            "'int8-full' also quantizes the YOLO detector "
+                            "(measured perf-neutral on v5e; detection then "
+                            "deviates from bf16 within tested tolerances).")
     run_p.add_argument("--stream", type=int, default=0, metavar="CHUNK",
                        help="Process the video in CHUNK-frame segments with "
                             "bounded memory (all five pipelines; gate and "

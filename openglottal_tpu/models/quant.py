@@ -291,3 +291,270 @@ def qunet_masks(qparams, gray_u8):
 def qunet_chunk_masks(qparams, gray_u8):
     """Jitted :func:`qunet_masks` (drop-in for pipelines._unet_chunk)."""
     return qunet_masks(qparams, gray_u8)
+
+
+# ── YOLOv8n int8 ─────────────────────────────────────────────────────────
+#
+# Same PTQ scheme as the U-Net, mirroring models/yolo.YOLOv8 exactly.  One
+# structural walker (_yolo_walk) runs BOTH the bf16 calibration pass
+# (recording per-tap |x| percentiles) and the int8 forward — single source
+# of truth for the wiring.  Concat operands must share a scale for the
+# concat conv to stay one fused int8 conv, so calibration pins:
+#   * inside each C2f: cv1's split halves + every bottleneck output;
+#   * the two FPN groups {sppf, x6, cbs6} and {x12, x4, cbs5}
+#     (jnp.repeat upsampling and max-pool preserve scales).
+# The P1 stem (raw 0..255 input) stays bf16 with a quantized output; the
+# detect head's final 1x1 convs emit f32 logits unchanged.
+
+class _YoloWalk:
+    """Structural walker over the folded YOLOv8n params.
+
+    mode="calib": activations are bf16 tensors; records taps[name] =
+    pct-percentile of |x|.  mode="int8": activations are int8 tensors with
+    per-tensor scales from qparams["act_scales"]; every 3x3/1x1 interior
+    conv runs s8xs8->s32.
+    """
+
+    def __init__(self, params, mode: str, q=None, pct: float = 100.0):
+        self.p = params
+        self.mode = mode
+        self.q = q
+        self.pct = pct
+        self.taps = {}
+
+    def _tap(self, name, x):
+        # max-combine repeated taps: activations sharing one scale name
+        # (C2f split halves, residual outputs, concat operands) calibrate
+        # to the max of their ranges
+        v = jnp.percentile(jnp.abs(x.astype(jnp.float32)).reshape(-1),
+                           self.pct)
+        prev = self.taps.get(name)
+        self.taps[name] = v if prev is None else jnp.maximum(prev, v)
+
+    def _scale(self, name):
+        return self.q["act_scales"][name]
+
+    def cbs(self, name, x, out_name, stride=1, residual=None):
+        """ConvBNSiLU: conv -> SiLU epilogue -> (optional residual add) ->
+        requantize/tap.  ``x`` is bf16 (calib) or int8 (int8 mode)."""
+        if self.mode == "calib":
+            node = _subtree(self.p, name)
+            k = jnp.asarray(node["kernel"], jnp.bfloat16)
+            b = jnp.asarray(node["bias"], jnp.bfloat16)
+            y = jax.nn.silu(_conv_s(x, k, jnp.bfloat16, stride) + b)
+            if residual is not None:
+                y = y + residual[0]
+            self._tap(out_name, y)
+            return y
+        layer = self.q[name]
+        acc = _conv_s(x[0], layer["w8"], jnp.int32, stride)
+        y = acc.astype(jnp.float32) * (self._scale(x[1]) * layer["sw"]) \
+            + layer["b"]
+        y = jax.nn.silu(y)
+        if residual is not None:
+            r8, rname = residual
+            y = y + r8.astype(jnp.float32) * self._scale(rname)
+        return (_q(y, self._scale(out_name)), out_name)
+
+    def head_conv(self, name, x):
+        """Final 1x1 head conv -> f32 logits."""
+        if self.mode == "calib":
+            node = _subtree(self.p, name)
+            return _conv_s(x, jnp.asarray(node["kernel"], jnp.bfloat16),
+                           jnp.bfloat16, 1) \
+                + jnp.asarray(node["bias"], jnp.bfloat16)
+        layer = self.q[name]
+        acc = _conv_s(x[0], layer["w8"], jnp.int32, 1)
+        return acc.astype(jnp.float32) * (self._scale(x[1]) * layer["sw"]) \
+            + layer["b"]
+
+    def concat(self, xs, out_name):
+        """Concatenate same-scale activations (calibration pins the group);
+        out_name names the shared scale of the result."""
+        if self.mode == "calib":
+            return jnp.concatenate(xs, axis=-1)
+        return (jnp.concatenate([x[0] for x in xs], axis=-1), out_name)
+
+    def split2(self, x, c):
+        if self.mode == "calib":
+            return x[..., :c], x[..., c:]
+        return (x[0][..., :c], x[1]), (x[0][..., c:], x[1])
+
+    def maxpool(self, x, k, stride, pad):
+        if self.mode == "calib":
+            return jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, stride, stride, 1),
+                ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        return (jax.lax.reduce_window(
+            x[0], jnp.int8(-128), jax.lax.max, (1, k, k, 1),
+            (1, stride, stride, 1),
+            ((0, 0), (pad, pad), (pad, pad), (0, 0))), x[1])
+
+    def upsample(self, x):
+        if self.mode == "calib":
+            return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return (jnp.repeat(jnp.repeat(x[0], 2, axis=1), 2, axis=2), x[1])
+
+    def c2f(self, name, x, n: int, shortcut: bool):
+        cv2 = f"{name}/ConvBNSiLU_1/Conv_0"
+        c_out = (_subtree(self.p, cv2)["kernel"] if self.mode == "calib"
+                 else self.q[cv2]["w8"]).shape[-1]
+        c = c_out // 2
+        y = self.cbs(f"{name}/ConvBNSiLU_0/Conv_0", x, f"{name}_cv1")
+        p0, p1 = self.split2(y, c)
+        parts = [p0, p1]
+        for j in range(n):
+            b = parts[-1]
+            mid = self.cbs(f"{name}/Bottleneck_{j}/ConvBNSiLU_0/Conv_0", b,
+                           f"{name}_b{j}m")
+            res = b if shortcut else None
+            # every part shares the cv1 scale so the concat stays one
+            # fused int8 conv (calibration max-combines the taps)
+            parts.append(self.cbs(
+                f"{name}/Bottleneck_{j}/ConvBNSiLU_1/Conv_0", mid,
+                f"{name}_cv1", residual=res))
+        cat = self.concat(parts, f"{name}_cv1")
+        return self.cbs(f"{name}/ConvBNSiLU_1/Conv_0", cat, f"{name}_out")
+
+    def sppf(self, name, x):
+        y = self.cbs(f"{name}/ConvBNSiLU_0/Conv_0", x, f"{name}_cv1")
+        pools = [y]
+        for _ in range(3):
+            pools.append(self.maxpool(pools[-1], 5, 1, 2))
+        cat = self.concat(pools, f"{name}_cv1")
+        return self.cbs(f"{name}/ConvBNSiLU_1/Conv_0", cat, "sppf_out")
+
+    def forward(self, x_raw, depth=(1, 2, 2, 1)):
+        """Mirror of models/yolo.YOLOv8.__call__ (fuse_bn wiring).
+
+        x_raw: raw 0..255 float frames (N, H, W, cin) — the /255 fold lives
+        in the bf16 stem kernel, as in the production bf16 path.
+        """
+        d = depth
+        stem = (_subtree(self.p, "ConvBNSiLU_0/Conv_0")
+                if self.mode == "calib" else self.q["stem_bf16"])
+        y = jax.nn.silu(_conv_s(
+            x_raw.astype(jnp.bfloat16),
+            jnp.asarray(stem["kernel"], jnp.bfloat16)
+            * jnp.bfloat16(1.0 / 255.0), jnp.bfloat16, 2)
+            + jnp.asarray(stem["bias"], jnp.bfloat16))          # P1/2
+        if self.mode == "calib":
+            self._tap("p1", y)
+            x = y
+        else:
+            x = (_q(y.astype(jnp.float32), self._scale("p1")), "p1")
+
+        x = self.cbs("ConvBNSiLU_1/Conv_0", x, "cbs1", stride=2)   # P2/4
+        x = self.c2f("C2f_0", x, d[0], True)
+        x = self.cbs("ConvBNSiLU_2/Conv_0", x, "cbs2", stride=2)   # P3/8
+        x4 = self.c2f("C2f_1", x, d[1], True)
+        x = self.cbs("ConvBNSiLU_3/Conv_0", x4, "cbs3", stride=2)  # P4/16
+        x6 = self.c2f("C2f_2", x, d[2], True)
+        x = self.cbs("ConvBNSiLU_4/Conv_0", x6, "cbs4", stride=2)  # P5/32
+        x = self.c2f("C2f_3", x, d[3], True)
+        x9 = self.sppf("SPPF_0", x)
+
+        x = self.concat([self.upsample(x9), x6], "sppf_out")
+        x12 = self.c2f("C2f_4", x, d[3], False)
+        x = self.concat([self.upsample(x12), x4], "C2f_4_out")
+        p3 = self.c2f("C2f_5", x, d[3], False)
+        x = self.cbs("ConvBNSiLU_5/Conv_0", p3, "cbs5", stride=2)
+        x = self.concat([x, x12], "C2f_4_out")
+        p4 = self.c2f("C2f_6", x, d[3], False)
+        x = self.cbs("ConvBNSiLU_6/Conv_0", p4, "cbs6", stride=2)
+        x = self.concat([x, x9], "sppf_out")
+        p5 = self.c2f("C2f_7", x, d[3], False)
+
+        outs = []
+        for i, f in enumerate((p3, p4, p5)):
+            b = self.cbs(f"DetectHead_0/box{i}_0/Conv_0", f, f"box{i}a")
+            b = self.cbs(f"DetectHead_0/box{i}_1/Conv_0", b, f"box{i}b")
+            b = self.head_conv(f"DetectHead_0/box{i}_2", b)
+            c = self.cbs(f"DetectHead_0/cls{i}_0/Conv_0", f, f"cls{i}a")
+            c = self.cbs(f"DetectHead_0/cls{i}_1/Conv_0", c, f"cls{i}b")
+            c = self.head_conv(f"DetectHead_0/cls{i}_2", c)
+            outs.append((b.astype(jnp.float32), c.astype(jnp.float32)))
+        return outs
+
+
+def _subtree(params, path: str):
+    node = params
+    for part in path.split("/"):
+        node = node[part]
+    return node
+
+
+def _conv_s(x, k, out_dtype, stride: int):
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    pad = k.shape[0] // 2
+    return jax.lax.conv_general_dilated(
+        x, k, (stride, stride), [(pad, pad)] * 2, dimension_numbers=dn,
+        preferred_element_type=out_dtype)
+
+
+def _yolo_taps(variables, x_raw, pct: float = 100.0):
+    w = _YoloWalk(variables["params"], "calib", pct=pct)
+    w.forward(x_raw)
+    return w.taps
+
+
+def quantize_yolo(variables: dict, calib_x_raw, pct: float = 100.0):
+    """Post-training int8 quantization of FOLDED YOLOv8n variables.
+
+    calib_x_raw: (N, H, W, cin) raw 0..255 float frames matching the stem's
+    input-channel count (1 for gray-folded stems).  Returns qparams for
+    :func:`qyolo_outputs`.
+    """
+    from openglottal_tpu.models.fold import is_folded
+
+    if not is_folded(variables):
+        raise ValueError("quantize_yolo expects fold_yolo-folded variables")
+    params = variables["params"]
+
+    acts = jax.jit(_yolo_taps, static_argnames=("pct",))(
+        variables, jnp.asarray(calib_x_raw, jnp.float32), pct=pct)
+    scales = {k: max(float(v) / 127.0, 1e-12) for k, v in acts.items()}
+    # pin the FPN concat groups to one shared scale (C2f-internal groups
+    # are pinned by construction: their taps share one name, max-combined)
+    for group in (("sppf_out", "C2f_2_out", "cbs6"),
+                  ("C2f_4_out", "C2f_1_out", "cbs5")):
+        sc = max(scales[n] for n in group)
+        for n in group:
+            scales[n] = sc
+
+    q: dict[str, Any] = {"act_scales": scales}
+    stem = _subtree(params, "ConvBNSiLU_0/Conv_0")
+    q["stem_bf16"] = {"kernel": jnp.asarray(stem["kernel"], jnp.bfloat16),
+                      "bias": jnp.asarray(stem["bias"], jnp.bfloat16)}
+
+    def add_conv(path):
+        node = _subtree(params, path)
+        w8, sw = quantize_weights(node["kernel"])
+        q[path] = {"w8": jnp.asarray(w8), "sw": jnp.asarray(sw),
+                   "b": jnp.asarray(node["bias"], jnp.float32)}
+
+    def walk(node, path=""):
+        for k, v in node.items():
+            sub = f"{path}/{k}" if path else k
+            if isinstance(v, dict) and "kernel" in v:
+                if sub != "ConvBNSiLU_0/Conv_0":  # bf16 stem
+                    add_conv(sub)
+            elif isinstance(v, dict):
+                walk(v, sub)
+
+    walk(params)
+    return q
+
+
+def qyolo_forward(qparams, x_raw):
+    """int8 YOLOv8n forward -> per-level (box, cls) f32 logits, matching
+    ``YOLOv8(fuse_bn=True).apply`` on raw 0..255 input (the /255 fold lives
+    in the bf16 stem kernel).  Plain traceable function; jitted form below."""
+    return _YoloWalk(None, "int8", q=qparams).forward(x_raw)
+
+
+@jax.jit
+def qyolo_outputs(qparams, x_raw):
+    """Jitted :func:`qyolo_forward`."""
+    return qyolo_forward(qparams, x_raw)

@@ -233,26 +233,41 @@ def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
 def _fused_yolo_unet_video_q(qparams, yolo_variables, gray_u8, t_real,
                              conf: float, dtype, gate_params: GateParams,
                              fuse: bool = False):
-    """int8-UNet variant of :func:`_fused_yolo_unet_video` (opt-in serving
-    mode, ``GlottalPipelines(quant="int8")``).
+    """int8 variant of :func:`_fused_yolo_unet_video` (opt-in serving mode,
+    ``GlottalPipelines(quant="int8" | "int8-full")``).
 
-    The U-Net masks come from the post-training-quantized forward
-    (models/quant.qunet_masks — s8xs8->s32 convs, 1.5-3.5x faster per layer
-    on TPU v5e, scripts/perf_probe7.py); the YOLO detector stays bf16 (5% of
-    the pipeline FLOPs, and the gate consumes its boxes unchanged).
+    The U-Net always runs post-training-quantized (models/quant.qunet_masks
+    — s8xs8->s32 MXU convs, 1.5-3.5x faster per shape than bf16 on v5e, and
+    half the bytes through every bandwidth-floor 256² stage).  The YOLOv8n
+    detector runs bf16 unless ``qparams`` carries a "yolo" entry
+    ("int8-full"): quantizing it measured a perf WASH at pipeline level
+    (6.8k vs the 6.8-7.1k bf16-YOLO band — its thin 16/32-channel stages
+    are latency/bandwidth-bound, and requant passes eat the MXU gain), so
+    the production "int8" mode keeps detection bit-identical to the default
+    path and the accuracy story confined to the U-Net.
     """
     t_pad = gray_u8.shape[0]
     h, w = gray_u8.shape[1:]
     chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
-    yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
-    yv = _u8_yolo(yolo_variables)
 
-    from openglottal_tpu.models.quant import qunet_masks
+    from openglottal_tpu.models.quant import qunet_masks, qyolo_forward
+
+    if "yolo" not in qparams:
+        yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
+        yv = _u8_yolo(yolo_variables)
+    else:
+        cin = qparams["yolo"]["stem_bf16"]["kernel"].shape[2]
 
     def per_chunk(g):
-        masks = qunet_masks(qparams, g)
-        outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
-                          train=False)
+        masks = qunet_masks(qparams["unet"], g)
+        if "yolo" in qparams:
+            x = g.astype(jnp.float32)[..., None]
+            if cin == 3:
+                x = jnp.broadcast_to(x, x.shape[:3] + (3,))
+            outs = qyolo_forward(qparams["yolo"], x)
+        else:
+            outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
+                              train=False)
         has, box, _ = max_conf_detect(outs, h, w, conf)
         return masks, has, box
 
@@ -568,10 +583,11 @@ class GlottalPipelines:
         # Calibration is lazy — the first processed video's frames — or
         # explicit via :meth:`calibrate`.  The default (quant=None) and all
         # eval paths stay bf16, reference-faithful.
-        if quant not in (None, "int8"):
-            raise ValueError(f"quant must be None or 'int8', got {quant!r}")
-        if quant == "int8" and not self._fuse:
-            raise ValueError("quant='int8' needs BN-folded U-Net variables "
+        if quant not in (None, "int8", "int8-full"):
+            raise ValueError(
+                f"quant must be None, 'int8' or 'int8-full', got {quant!r}")
+        if quant is not None and not self._fuse:
+            raise ValueError("quant needs BN-folded variables "
                              "(provide batch_stats or pre-folded weights)")
         if quant is not None and mesh is not None:
             raise ValueError("quant='int8' is single-chip for now — the "
@@ -598,14 +614,21 @@ class GlottalPipelines:
             self._chunk_spec = None
 
     def calibrate(self, gray_u8):
-        """Quantize the U-Net for the int8 serving mode using ``gray_u8``
+        """Quantize both models for the int8 serving mode using ``gray_u8``
         ((N, 256, 256) uint8) as the activation-range calibration set.
         Called lazily with the first video's frames if not called up front.
         """
-        from openglottal_tpu.models.quant import quantize_unet
+        from openglottal_tpu.models.quant import quantize_unet, quantize_yolo
 
-        self._qparams = quantize_unet(self.unet_variables,
-                                      np.asarray(gray_u8)[:64])
+        g = np.asarray(gray_u8)[:64]
+        self._qparams = {"unet": quantize_unet(self.unet_variables, g)}
+        if self._quant == "int8-full" and self.yolo_gray_variables is not None:
+            cin = self.yolo_gray_variables["params"][
+                "ConvBNSiLU_0"]["Conv_0"]["kernel"].shape[2]
+            x = g.astype(np.float32)[..., None]
+            if cin == 3:
+                x = np.broadcast_to(x, x.shape[:3] + (3,))
+            self._qparams["yolo"] = quantize_yolo(self.yolo_gray_variables, x)
         return self
 
     def _q(self, gray):
@@ -773,9 +796,9 @@ class GlottalPipelines:
                                     self._seg_put(gray, t), dtype=self.dtype,
                                     fuse=self._fuse)
                 return masks[:t].sum((1, 2)).astype(jnp.float32)
-            if self._quant == "int8":
+            if self._quant:
                 return _fused_unet_only_video_q(
-                    self._q(gray), _pad_to(gray, _bucket(t)))[:t]
+                    self._q(gray)["unet"], _pad_to(gray, _bucket(t)))[:t]
             return _fused_unet_only_video(
                 self.unet_variables, _pad_to(gray, _bucket(t)), self.dtype,
                 fuse=self._fuse)[:t]
@@ -805,7 +828,7 @@ class GlottalPipelines:
                     self._seg_put(gray, t), jnp.int32(t),
                     conf=self.conf, dtype=self.dtype,
                     gate_params=self.gate_params, fuse=self._fuse)[:t]
-            if self._quant == "int8":
+            if self._quant:
                 return _fused_yolo_unet_video_q(
                     self._q(gray), self.yolo_gray_variables,
                     _pad_to(gray, _bucket(t)), jnp.int32(t),

@@ -97,10 +97,12 @@ def test_qunet_shapes_and_determinism():
     np.testing.assert_array_equal(m1, m2)
 
 
-def test_int8_pipeline_areas_track_bf16():
-    """GlottalPipelines(quant='int8'): the YOLO+UNet and unet-only waveforms
-    must track the bf16 pipeline closely (same gate decisions — the detector
-    is shared bf16 — and near-equal areas)."""
+@pytest.mark.parametrize("mode", ["int8", "int8-full"])
+def test_int8_pipeline_areas_track_bf16(mode):
+    """GlottalPipelines(quant=...): the YOLO+UNet and unet-only waveforms
+    must track the bf16 pipeline closely ('int8' shares the bf16 detector —
+    identical gate decisions; 'int8-full' quantizes it too, within the
+    tested detection tolerances)."""
     import openglottal_tpu.pipelines as plmod
     from openglottal_tpu.data.synthetic import synthetic_video
     from openglottal_tpu.models.yolo import init_yolo
@@ -123,13 +125,13 @@ def test_int8_pipeline_areas_track_bf16():
         mk = lambda q: GlottalPipelines(unet_variables=uv, yolo_variables=yv,
                                         conf=0.0, dtype=jnp.float32, quant=q)
         ref = np.asarray(mk(None).yolo_unet_areas_gray(gray))
-        got = np.asarray(mk("int8").yolo_unet_areas_gray(gray))
+        got = np.asarray(mk(mode).yolo_unet_areas_gray(gray))
         # areas differ only by boundary-pixel flips of near-zero logits
         denom = np.maximum(ref, 1.0)
         assert (np.abs(got - ref) / denom).max() < 0.08, (got, ref)
 
         ref5 = np.asarray(mk(None).unet_only_areas(gray))
-        got5 = np.asarray(mk("int8").unet_only_areas(gray))
+        got5 = np.asarray(mk(mode).unet_only_areas(gray))
         assert (np.abs(got5 - ref5) / np.maximum(ref5, 1.0)).max() < 0.08
     finally:
         plmod.CHUNK = old_chunk
@@ -141,6 +143,68 @@ def test_quantize_unet_requires_folded():
                              size=64)
     with pytest.raises(ValueError):
         quantize_unet(variables, _calib_frames(n=1))
+
+
+def _yolo_folded(key=5):
+    from openglottal_tpu.models.fold import fold_yolo
+    from openglottal_tpu.models.yolo import init_yolo
+
+    _, yvars = init_yolo(jax.random.PRNGKey(key), dtype=jnp.float32, size=64)
+    rng = np.random.default_rng(key)  # order-independent determinism
+    stats = jax.tree_util.tree_map_with_path(
+        lambda p, a: (np.abs(rng.standard_normal(a.shape)).astype(np.float32)
+                      * 0.5 + 0.5
+                      if getattr(p[-1], "key", "") == "var"
+                      else 0.2 * rng.standard_normal(a.shape).astype(
+                          np.float32)),
+        yvars["batch_stats"])
+    return fold_yolo({"params": yvars["params"], "batch_stats": stats})
+
+
+def test_yolo_walker_matches_flax():
+    """The structural walker's bf16 (calibration) pass must reproduce the
+    flax YOLOv8(fuse_bn=True) forward exactly — it is the wiring that the
+    int8 path then quantizes."""
+    from openglottal_tpu.models.quant import _YoloWalk
+    from openglottal_tpu.models.yolo import YOLOv8
+
+    folded = _yolo_folded()
+    x_raw = jnp.asarray(RNG.integers(0, 256, (2, 64, 64, 3)), jnp.float32)
+    ref = YOLOv8(nc=1, dtype=jnp.bfloat16, fuse_bn=True).apply(
+        folded, x_raw / 255.0, train=False)
+    got = _YoloWalk(folded["params"], "calib").forward(x_raw)
+    for (rb, rc), (gb, gc) in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(gb, np.float32),
+                                   np.asarray(rb, np.float32),
+                                   rtol=0.05, atol=0.05)
+        np.testing.assert_allclose(np.asarray(gc, np.float32),
+                                   np.asarray(rc, np.float32),
+                                   rtol=0.05, atol=0.05)
+
+
+def test_qyolo_detections_track_bf16():
+    """int8 YOLO: the full decoded anchor fields must track the bf16 model —
+    near-equal confidences everywhere and near-equal boxes (argmax-box
+    comparison would be ill-posed on a random-init net whose conf landscape
+    is flat: a near-tie can legitimately pick a different anchor)."""
+    from openglottal_tpu.models.quant import quantize_yolo, qyolo_outputs
+    from openglottal_tpu.models.yolo import YOLOv8, decode_boxes
+
+    rng = np.random.default_rng(61)
+    folded = _yolo_folded(key=6)
+    calib = jnp.asarray(rng.integers(0, 256, (4, 64, 64, 3)), jnp.float32)
+    x_raw = jnp.asarray(rng.integers(0, 256, (4, 64, 64, 3)), jnp.float32)
+
+    qp = quantize_yolo(folded, calib)
+    ref = YOLOv8(nc=1, dtype=jnp.bfloat16, fuse_bn=True).apply(
+        folded, x_raw / 255.0, train=False)
+    got = qyolo_outputs(qp, x_raw)
+
+    rbox, rconf = decode_boxes(ref, 64, 64)
+    gbox, gconf = decode_boxes(got, 64, 64)
+    np.testing.assert_allclose(np.asarray(gconf), np.asarray(rconf),
+                               atol=0.06)
+    np.testing.assert_allclose(np.asarray(gbox), np.asarray(rbox), atol=5.0)
 
 
 def test_quant_rejects_mesh_and_bad_mode():
