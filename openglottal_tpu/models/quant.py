@@ -50,14 +50,11 @@ counterpart — it is a beyond-reference deployment feature.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-FEATURES = (32, 64, 128, 256)
 
 
 def _conv(x, k, out_dtype, pad=1):
@@ -109,7 +106,6 @@ def quantize_unet(variables: dict, calib_gray_u8, pct: float = 100.0):
     qparams dict consumed by :func:`qunet_chunk_masks`.
     """
     from openglottal_tpu.models.fold import is_folded
-    from openglottal_tpu.models.unet import UNet
 
     if not is_folded(variables):
         raise ValueError("quantize_unet expects fold_unet-folded variables")
