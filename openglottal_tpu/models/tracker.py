@@ -28,6 +28,7 @@ from openglottal_tpu.ops.blur import gaussian_blur
 from openglottal_tpu.ops.blobs import (
     largest_blob,
     largest_blob_batch,
+    roi_window_origin,
     top_n_blobs,
     top_n_blobs_batch,
 )
@@ -246,6 +247,23 @@ def ygvft_parallel(init_frames, first_valid, first_box, frames, valids, boxes,
 
     ``active`` may only disable a contiguous TAIL (padding); interior gaps
     would change the prev-frame chain.
+
+    Every data-dependent stage is confined to the per-frame bbox ROI, so on
+    frames >= 128² the whole tail (masked percentile, threshold compare,
+    top-n blob filter) runs on a 128² window positioned to contain each box
+    plus a 1-px in-frame margin — 4x fewer pixels on 256² video, and the
+    full-frame mask paint-back is DCE'd by XLA when callers only consume
+    areas (the fused pipeline graph).  Bit-identical to the full-frame pass:
+    the ROI (hence the percentile's masked pixel set and the raw mask) is
+    empty outside the window, and the blob machinery's window/full
+    equivalence — including hole semantics at the window border — is argued
+    and test-pinned at ops/blobs.top_n_blobs_batch_roi.  An in-graph
+    lax.cond falls back to the full-frame pass when any box exceeds win-2
+    on a side (one branch executes).
+
+    Note the sequential form's lmap EMA is dead state for YGVFT (the
+    reference keeps updating the motion map but its ROI is always the bbox,
+    tracker.py:205-232) — XLA DCEs the absdiff/blur/prefix here.
     """
     p = params
     t, h, w = frames.shape
@@ -260,21 +278,53 @@ def ygvft_parallel(init_frames, first_valid, first_box, frames, valids, boxes,
     a_l = jnp.where(active[:, None, None], 1.0 - p.alpha, 1.0)
     b_l = jnp.where(active[:, None, None], p.alpha * d, 0.0)
     lmaps = _linear_prefix(a_l, b_l, lmap0[None])
+    del lmaps  # dead for YGVFT (bbox ROI); kept for symmetry with the scan
 
-    rows = jnp.arange(h)[None, :, None]
-    cols = jnp.arange(w)[None, None, :]
-    roi = ((rows >= boxes[:, 1, None, None]) & (rows < boxes[:, 3, None, None])
-           & (cols >= boxes[:, 0, None, None]) & (cols < boxes[:, 2, None, None])
-           & valids[:, None, None])
+    def roi_for(rows, cols):
+        return ((rows >= boxes[:, 1, None, None])
+                & (rows < boxes[:, 3, None, None])
+                & (cols >= boxes[:, 0, None, None])
+                & (cols < boxes[:, 2, None, None])
+                & valids[:, None, None])
 
-    # bit-search exact percentile (ops/histogram.py): counts instead of a
-    # per-frame sort (~80 ms/512 frames) or scatter-add histogram (~355 ms)
-    cur, n_px = masked_percentile_u8_batch(ff, roi, p.glottal_percentile)
-    thresh = _thresh_chain(jnp.asarray(thresh0), cur, n_px, active, p.beta)
+    def tail(ffx, roix, origin):
+        # bit-search exact percentile (ops/histogram.py): counts instead of
+        # a per-frame sort (~80 ms/512 frames) or scatter-add histogram
+        # (~355 ms); identical masked pixel set windowed or full
+        cur, n_px = masked_percentile_u8_batch(ffx, roix,
+                                               p.glottal_percentile)
+        thresh = _thresh_chain(jnp.asarray(thresh0), cur, n_px, active,
+                               p.beta)
+        raw = (ffx < thresh[:, None, None]) & roix & active[:, None, None]
+        masks_x = top_n_blobs_batch(raw, p.max_glottal_components)
+        areas = masks_x.sum((1, 2)).astype(jnp.float32)
+        if origin is None:
+            return masks_x, areas
+        oy, ox = origin
+        masks = jax.vmap(
+            lambda s, yy, xx: jax.lax.dynamic_update_slice(
+                jnp.zeros((h, w), jnp.bool_), s, (yy, xx)))(masks_x, oy, ox)
+        return masks, areas
 
-    raw = (ff < thresh[:, None, None]) & roi & active[:, None, None]
-    masks = top_n_blobs_batch(raw, p.max_glottal_components)
-    return masks, masks.sum((1, 2)).astype(jnp.float32)
+    def full(ffx):
+        rows = jnp.arange(h)[None, :, None]
+        cols = jnp.arange(w)[None, None, :]
+        return tail(ffx, roi_for(rows, cols), None)
+
+    win = 128
+    if h < win or w < win:
+        return full(ff)
+
+    fits, oy, ox = roi_window_origin(boxes, h, w, win)
+
+    def windowed(ffx):
+        ff_w = jax.vmap(lambda fr, yy, xx: jax.lax.dynamic_slice(
+            fr, (yy, xx), (win, win)))(ffx, oy, ox)
+        rows = oy[:, None, None] + jnp.arange(win)[None, :, None]
+        cols = ox[:, None, None] + jnp.arange(win)[None, None, :]
+        return tail(ff_w, roi_for(rows, cols), (oy, ox))
+
+    return jax.lax.cond(fits, windowed, full, ff)
 
 
 @partial(jax.jit, static_argnames=("params",))

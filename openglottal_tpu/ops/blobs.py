@@ -463,6 +463,75 @@ def top_n_blobs_batch(masks, n: int, iters: int = 4096):
     return out[:, :oh, :ow]
 
 
+def roi_window_origin(boxes, h: int, w: int, win: int):
+    """Per-frame (win, win) window origins containing each box plus a 1-px
+    in-frame background margin.  Returns (fits, oy, ox): ``fits`` is True
+    iff EVERY box is at most win-2 on both sides (callers fall back to the
+    full-frame pass otherwise — one lax.cond branch executes).
+
+    Origin covers [x1+1-win, x1+1) clamped in-frame; given the box fits,
+    this also covers x0-1 (x1+1-win <= x0-1 ⟺ width <= win-2).  Shared by
+    :func:`top_n_blobs_batch_roi` (which pins the windowed == full-frame
+    equivalence in tests) and the guided-VFT tracker's fully-windowed tail
+    (models/tracker.ygvft_parallel)."""
+    boxes = boxes.astype(jnp.int32)
+    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    fits = jnp.all(((x1 - x0) <= win - 2) & ((y1 - y0) <= win - 2))
+    ox = jnp.clip(x1 + 1 - win, 0, w - win)
+    oy = jnp.clip(y1 + 1 - win, 0, h - win)
+    return fits, oy, ox
+
+
+def top_n_blobs_batch_roi(masks, boxes, n: int, win: int = 128,
+                          iters: int = 4096):
+    """:func:`top_n_blobs_batch` for masks CONFINED to per-frame boxes —
+    the guided-VFT case, where raw = (dark ∧ in-bbox-ROI) zeroes everything
+    outside ``boxes`` (models/tracker.py ygvft_parallel).
+
+    Runs the identical machinery on a per-frame (win, win) window positioned
+    to contain the box plus a 1-px in-frame background margin, then paints
+    the result back into full frames.  Bit-identical to the full-frame pass:
+
+      * fg components lie inside the box ⊆ window, so labels/sizes/ranking
+        are unchanged (window-local label values differ but the selection is
+        label-value-free: size-desc, smaller-label-asc ties pick the same
+        components);
+      * a bg component inside the window either is enclosed by fg (a true
+        hole — fully inside the window by the margin) or reaches the
+        outside-ROI background sea, which fills window-minus-box and touches
+        the window border, so the border test gives the same verdict the
+        frame border gives in the full-frame pass;
+      * the hole-violation test only inspects fg comps and their 1-px bg
+        neighbourhoods — all inside the window.
+
+    The 4x pixel reduction (win=128 on 256² frames) cuts the fixpoint +
+    ranking-sort cost that dominates the tracker (~266 of 268 ms/512 frames,
+    scripts/perf_probe8.py) by ~4x and shortens propagation distances.
+
+    Falls back to the full-frame pass (lax.cond — one branch executes) when
+    any box exceeds win-2 on a side, so the contract never constrains box
+    size.  Frames with empty masks (invalid/held-box frames) window anywhere
+    and produce empty output either way.
+    """
+    t, hh, ww = masks.shape
+    if hh < win or ww < win:
+        return top_n_blobs_batch(masks, n, iters)
+    fits, oy, ox = roi_window_origin(boxes, hh, ww, win)
+
+    def windowed(m):
+        sub = jax.vmap(
+            lambda fr, yy, xx: jax.lax.dynamic_slice(fr, (yy, xx), (win, win))
+        )(m, oy, ox)
+        outw = top_n_blobs_batch(sub, n, iters)
+        return jax.vmap(
+            lambda s, yy, xx: jax.lax.dynamic_update_slice(
+                jnp.zeros((hh, ww), jnp.bool_), s, (yy, xx))
+        )(outw, oy, ox)
+
+    return jax.lax.cond(fits, windowed,
+                        lambda m: top_n_blobs_batch(m, n, iters), masks)
+
+
 def largest_blob_batch(masks, iters: int = 4096):
     """Largest component per frame of a (T, H, W) stack."""
     return top_n_blobs_batch(masks, 1, iters)

@@ -435,6 +435,82 @@ def _fused_unet_only_video(unet_variables, gray_u8, dtype,
     return jax.lax.map(per_chunk, chunks).reshape(t_pad)
 
 
+def _detect_gate_graph(yolo_variables, gray_u8, t_real, conf: float, dtype,
+                       gate_params: GateParams, fuse: bool):
+    """Trace-level detect+gate over a whole padded monochrome video: YOLO
+    chunks under ``lax.map`` (bounded HBM) + the causal gate scan, with
+    detections beyond ``t_real`` masked as misses (the padded tail can only
+    extend the final hold — discarded when callers slice to ``t_real``).
+    Shared body of :func:`_fused_gated_video` / :func:`_fused_ygvft_video`;
+    per-chunk math identical to :func:`_yolo_chunk_gray`."""
+    t_pad = gray_u8.shape[0]
+    h, w = gray_u8.shape[1:]
+    chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
+    yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
+    yv = _u8_yolo(yolo_variables)
+
+    def per_chunk(g):
+        outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
+                          train=False)
+        has, box, _ = max_conf_detect(outs, h, w, conf)
+        return has, box
+
+    has, raw = jax.lax.map(per_chunk, chunks)
+    has = has.reshape(t_pad) & (jnp.arange(t_pad) < t_real)
+    return gate_scan(has, raw.reshape(t_pad, 4), h, w, params=gate_params)
+
+
+@_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse"))
+def _fused_gated_video(yolo_variables, gray_u8, t_real, conf: float, dtype,
+                       gate_params: GateParams, fuse: bool = False):
+    """ONE dispatch: whole padded monochrome 256² video -> gated
+    (valid (T_pad,), boxes (T_pad, 4)).
+
+    The modular form (``_chunked`` ``_yolo_chunk_gray`` + ``gate_scan``)
+    dispatches once per CHUNK plus once for the gate — ~5 relay round-trips
+    per 502-frame video where one suffices.  Used by ``_gated``'s monochrome
+    fast path (VFT prefix, crop pipeline, eval drivers); bit-identical to
+    the modular form on the first ``t_real`` frames (causal scan, identical
+    per-chunk detection graph)."""
+    return _detect_gate_graph(yolo_variables, gray_u8, t_real, conf, dtype,
+                              gate_params, fuse)
+
+
+@_jit_hot(static_argnames=("conf", "dtype", "gate_params", "ygvft_params",
+                           "fuse"))
+def _fused_ygvft_video(yolo_variables, gray_u8, t_real, conf: float, dtype,
+                       gate_params: GateParams, ygvft_params: YGVFTParams,
+                       fuse: bool = False):
+    """ONE dispatch for the whole guided-VFT video (pipeline 2): YOLO chunks
+    + gate scan + frame-parallel tracker in a single jitted graph.
+
+    The two-dispatch form (``_gated`` then ``_ygvft_compute``) pays a full
+    relay round-trip between the stages for two host pulls that both trace:
+    ``valid[:YGVFT_INIT].any()`` and the argmax picking the first seed box.
+    Fusing them removes ~40 ms/video of dispatch+fetch latency on the axon
+    relay (scripts/perf_probe8.py attribution) and lets XLA overlap the YOLO
+    pass with the tracker's prefix stages.
+
+    gray_u8: (T_pad, 256, 256) uint8, T_pad a multiple of CHUNK and
+    > YGVFT_INIT.  Returns areas (T_pad - YGVFT_INIT,) f32 for the tracked
+    frames (callers slice to t_real - YGVFT_INIT and re-offset); padded
+    frames emit zero (``active`` tail masking in ygvft_parallel).
+    """
+    t_pad = gray_u8.shape[0]
+    valid, boxes = _detect_gate_graph(yolo_variables, gray_u8, t_real, conf,
+                                      dtype, gate_params, fuse)
+
+    g32 = gray_u8.astype(jnp.float32)
+    vin = valid[:YGVFT_INIT]
+    fi = jnp.argmax(vin)          # first valid index among the init frames
+    active = jnp.arange(t_pad - YGVFT_INIT) < (t_real - YGVFT_INIT)
+    _, areas = ygvft_parallel(
+        g32[:YGVFT_INIT], vin.any(), boxes[fi],
+        g32[YGVFT_INIT:], valid[YGVFT_INIT:], boxes[YGVFT_INIT:], active,
+        params=ygvft_params)
+    return areas
+
+
 def is_monochrome(frames_np) -> bool:
     """Host-side check whether a (T, H, W, 3) uint8 video has equal channels
     (checked on first/middle/last frames)."""
@@ -517,6 +593,20 @@ def _gather_crops(gray_u8, boxes, out_h: int, out_w: int):
         return jnp.clip(jnp.round(c), 0, 255)
 
     return jax.vmap(one)(gray_u8, boxes)
+
+
+@partial(jax.jit, static_argnames=("h0", "w0", "params", "parallel"))
+def _fused_vft_tracker(gray_u8, sel, boxes, active, h0: int, w0: int,
+                       params: VFTParams, parallel: bool = True):
+    """ONE dispatch for the VFT tracker pass: valid-frame crop gather +
+    size-locked resize + tracker, jitted together (``_gather_crops`` alone
+    would dispatch its ~15 primitives eagerly through the relay).  Keyed on
+    the locked crop size (h0, w0) — a genuine static shape, locked host-side
+    from the first gated box (features.py:124-127), which is why the VFT
+    pipeline is two dispatches rather than one like guided-VFT."""
+    crops = _gather_crops(gray_u8[sel], boxes, h0, w0)
+    fn = vft_parallel if parallel else vft_scan
+    return fn(crops[:VFT_INIT], crops, active, params=params)
 
 
 class GlottalPipelines:
@@ -717,6 +807,16 @@ class GlottalPipelines:
 
     def _gated(self, frames_dev, gray_dev, sequential: bool = True):
         h, w = (frames_dev if frames_dev is not None else gray_dev).shape[1:3]
+        if (frames_dev is None and sequential and (h, w) == (256, 256)
+                and self._chunk_spec is None):
+            # monochrome fast path: detect+gate as ONE dispatch (identical
+            # per-chunk graph + causal scan — bit-equal on the t prefix)
+            t = int(gray_dev.shape[0])
+            valid, boxes = _fused_gated_video(
+                self.yolo_gray_variables, _pad_to(gray_dev, _bucket(t)),
+                jnp.int32(t), conf=self.conf, dtype=self.dtype,
+                gate_params=self.gate_params, fuse=self._fuse)
+            return valid[:t], boxes[:t]
         if (h, w) != (256, 256):
             # non-native sizes: letterbox to the detector's 256² input and
             # map boxes back (ultralytics letterboxes internally; every
@@ -882,9 +982,8 @@ class GlottalPipelines:
         n = len(idx)
         n_pad = self._seg_bucket(n, 64)
         sel = jnp.asarray(np.pad(idx, (0, n_pad - n), constant_values=idx[-1]))
-        crops = _gather_crops(gray[sel], jnp.asarray(
-            np.pad(boxes_np[idx], ((0, n_pad - n), (0, 0)), constant_values=1)
-        ), h0, w0)
+        boxes_sel = jnp.asarray(
+            np.pad(boxes_np[idx], ((0, n_pad - n), (0, 0)), constant_values=1))
         active = jnp.asarray(np.arange(n_pad) >= VFT_INIT) & jnp.asarray(
             np.arange(n_pad) < n
         )
@@ -892,11 +991,15 @@ class GlottalPipelines:
             # frame-shard the parallel tracker over the mesh (the batched
             # blur/blob/percentile stages partition; the associative lmap
             # prefix and the scalar thresh chain ride XLA collectives)
-            crops = jax.device_put(crops, self._chunk_spec)
+            crops = jax.device_put(
+                _gather_crops(gray[sel], boxes_sel, h0, w0), self._chunk_spec)
             active = jax.device_put(active, self._chunk_spec)
-        fn = vft_parallel if self.parallel_trackers else vft_scan
-        cmasks, areas_v = fn(crops[:VFT_INIT], crops, active,
-                             params=self.vft_params)
+            cmasks, areas_v = vft_parallel(crops[:VFT_INIT], crops, active,
+                                           params=self.vft_params)
+        else:
+            cmasks, areas_v = _fused_vft_tracker(
+                gray, sel, boxes_sel, active, h0, w0,
+                params=self.vft_params, parallel=self.parallel_trackers)
         areas[idx] = np.asarray(areas_v)[:n]
         areas[idx[:VFT_INIT]] = 0.0  # init frames contribute 0 (features.py:134)
         return areas, (np.asarray(cmasks)[:n] if want_masks else None), idx, (h0, w0)
@@ -958,9 +1061,49 @@ class GlottalPipelines:
         if t < YGVFT_INIT + 2:  # features.py:169-170
             return None
         frames_dev, gray = self._prepare(frames_bgr_u8)
+        if frames_dev is None:
+            return self.guided_vft_areas_gray(gray)
         valid, boxes = self._gated(frames_dev, gray)
         areas, _ = self._ygvft_compute(gray, valid, boxes, t)
         return areas
+
+    def guided_vft_areas_gray(self, gray_u8):
+        """Guided-VFT waveform for monochrome video — ONE fused dispatch
+        (detect + gate + frame-parallel tracker in a single jitted graph;
+        bit-identical to the two-dispatch path: the only cross-stage values
+        are the gate outputs, which trace, and the tracker's padded tail is
+        inert).  Falls back to the two-dispatch form for non-256² frames,
+        mesh-sharded runs, and the sequential-tracker debug mode."""
+        gray = to_device(gray_u8)
+        t = int(gray.shape[0])
+        if t < YGVFT_INIT + 2:  # features.py:169-170
+            return None
+        h, w = gray.shape[1:3]
+        if ((h, w) == (256, 256) and self._chunk_spec is None
+                and self.parallel_trackers):
+            areas_v = _fused_ygvft_video(
+                self.yolo_gray_variables, _pad_to(gray, _bucket(t)),
+                jnp.int32(t), conf=self.conf, dtype=self.dtype,
+                gate_params=self.gate_params, ygvft_params=self.ygvft_params,
+                fuse=self._fuse)
+            areas = np.zeros(t, np.float32)
+            areas[YGVFT_INIT:] = np.asarray(areas_v)[:t - YGVFT_INIT]
+            return areas
+        valid, boxes = self._gated(None, gray)
+        areas, _ = self._ygvft_compute(gray, valid, boxes, t)
+        return areas
+
+    def vft_areas_gray(self, gray_u8):
+        """VFT waveform for monochrome video (device-resident input OK).
+        Two dispatches by construction: the crop size is locked host-side
+        from the first gated box (features.py:124-127 — a static shape), so
+        the gate outputs must come back to host before the tracker pass."""
+        gray = to_device(gray_u8)
+        t = int(gray.shape[0])
+        if t < VFT_INIT + 5:  # features.py:100-101
+            return None
+        valid, boxes = self._gated(None, gray)
+        return self._vft_compute(gray, valid, boxes, t)[0]
 
     def ygvft_eval_masks(self, gray, valid, boxes):
         """Masks for the eval ``yolo+motion`` row: (t - YGVFT_INIT, h, w) for

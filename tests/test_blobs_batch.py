@@ -10,6 +10,7 @@ from openglottal_tpu.ops.blobs import (
     largest_blob_batch,
     top_n_blobs,
     top_n_blobs_batch,
+    top_n_blobs_batch_roi,
 )
 
 RNG = np.random.default_rng(7)
@@ -33,6 +34,51 @@ def test_largest_blob_batch_matches():
     for i in range(5):
         np.testing.assert_array_equal(
             got[i], np.asarray(largest_blob(jnp.asarray(masks[i]))))
+
+
+@pytest.mark.parametrize("n", [1, 2])
+def test_windowed_roi_matches_full_frame(n):
+    """top_n_blobs_batch_roi (the guided-vft 128²-window fast path) must be
+    bit-identical to the full-frame pass for box-confined masks — including
+    holes, boxes at every frame border, empty frames, and the in-graph
+    fallback when a box exceeds the window."""
+    h = w = 256
+    rng = np.random.default_rng(11)
+    boxes, masks = [], []
+    # dense random content inside varied boxes (touching all four borders)
+    for (x0, y0, x1, y1) in [(60, 60, 180, 150), (0, 0, 90, 70),
+                             (200, 180, 256, 256), (0, 190, 60, 256),
+                             (170, 0, 256, 80), (100, 100, 102, 103)]:
+        m = np.zeros((h, w), bool)
+        m[y0:y1, x0:x1] = rng.random((y1 - y0, x1 - x0)) < 0.55
+        boxes.append([x0, y0, x1, y1])
+        masks.append(m)
+    # explicit nested-hole family: ring ⊃ hole ⊃ nested blob
+    m = np.zeros((h, w), bool)
+    m[20:80, 30:90] = True
+    m[30:70, 40:80] = False     # hole
+    m[45:55, 55:65] = True      # nested blob inside the hole
+    m[85:95, 30:40] = True      # small rival comp
+    boxes.append([28, 18, 97, 97])
+    masks.append(m)
+    # empty frame with a held box
+    boxes.append([10, 10, 50, 50])
+    masks.append(np.zeros((h, w), bool))
+    masks = jnp.asarray(np.stack(masks))
+    boxes_j = jnp.asarray(np.array(boxes, np.int32))
+    got = np.asarray(top_n_blobs_batch_roi(masks, boxes_j, n))
+    want = np.asarray(top_n_blobs_batch(masks, n))
+    np.testing.assert_array_equal(got, want)
+
+    # fallback: one frame's box exceeds win-2 -> whole batch takes the
+    # full-frame branch, still exact
+    big = np.zeros((h, w), bool)
+    big[5:200, 5:230] = rng.random((195, 225)) < 0.5
+    masks2 = jnp.asarray(np.stack([big, np.asarray(masks[0])]))
+    boxes2 = jnp.asarray(np.array([[5, 5, 230, 200], boxes[0]], np.int32))
+    got2 = np.asarray(top_n_blobs_batch_roi(masks2, boxes2, n))
+    want2 = np.asarray(top_n_blobs_batch(masks2, n))
+    np.testing.assert_array_equal(got2, want2)
 
 
 def test_huge_blob_not_dropped():

@@ -134,6 +134,43 @@ def test_gated_non_256_matches_host_oracle(pipe, color):
     np.testing.assert_array_equal(np.asarray(got_b), np.asarray(want_b))
 
 
+def test_gated_fused_matches_modular(pipe, video):
+    """_gated's monochrome fast path (_fused_gated_video — detect + gate as
+    ONE dispatch) vs the modular detect_video_gray + gate_scan form:
+    bit-identical on the real-frame prefix (identical per-chunk detection
+    graph; the gate scan is causal, so the padded tail cannot reach back)."""
+    from openglottal_tpu.models.gate import gate_scan
+
+    gray = jax.device_put(np.asarray(bgr_to_gray_u8(video)))
+    got_v, got_b = pipe._gated(None, gray)
+    has, raw, _ = pipe.detect_video_gray(gray)
+    want_v, want_b = gate_scan(has, raw, 256, 256, params=pipe.gate_params)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(want_b))
+
+
+def test_fused_ygvft_matches_two_dispatch(pipe, video):
+    """guided_vft_areas_gray's single-dispatch fused graph vs the modular
+    _gated + _ygvft_compute form: bit-identical (the YOLO chunks see the
+    same 128-frame padded batches, the gate scan is causal, the tracker's
+    dead lmap prefix is DCE'd, and the thresh chain is a sequential scan)."""
+    gray = np.asarray(bgr_to_gray_u8(video))
+    t = len(video)
+    fused = pipe.guided_vft_areas_gray(gray)
+    gdev = jax.device_put(gray)
+    valid, boxes = pipe._gated(None, gdev)
+    modular, _ = pipe._ygvft_compute(gdev, valid, boxes, t)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(modular))
+
+
+def test_vft_areas_gray_matches_bgr(pipe, video):
+    """vft_areas_gray(gray) == vft_areas(monochrome bgr video)."""
+    gray = np.asarray(bgr_to_gray_u8(video))
+    a = pipe.vft_areas_gray(gray)
+    b = pipe.vft_areas(video)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_tracker_routing_parallel_matches_scan(pipe, video):
     """Production paths route through the frame-parallel trackers; the
     sequential-scan fallback must agree (float-reassociation tolerance)."""
