@@ -84,14 +84,34 @@ def main() -> None:
                 None)
 
     # decoded monochrome HSV frames — high-speed endoscopy cameras are
-    # grayscale, so decode yields (T, 256, 256) uint8 per video
+    # grayscale, so decode yields (T, 256, 256) uint8 per video; realistic
+    # endoscopy-like content (vignette/speculars/fold texture) so every
+    # content-dependent stage (gate behavior, blob fixpoint convergence,
+    # tracker windowing) runs the way production footage drives it
     base = [np.ascontiguousarray(
-        synthetic_video(t=T_FRAMES, size=256, seed=s)[0][..., 0])
+        synthetic_video(t=T_FRAMES, size=256, seed=s,
+                        realistic=True)[0][..., 0])
         for s in range(N_BASE)]
 
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    _, uvars = init_unet(k1, dtype=jnp.bfloat16)
-    _, yvars = init_yolo(k2, dtype=jnp.bfloat16)
+    # trained in-repo demo weights (scripts/make_demo_weights.py) when
+    # present: a trained detector produces glottis-sized gate boxes, which
+    # is what the tracker pipelines' windowed fast path and the gate's
+    # hold/zero behavior see in production.  FLOPs are weight-independent;
+    # the JSON records which weights ran.
+    wdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights")
+    if (os.path.exists(os.path.join(wdir, "demo_unet.npz"))
+            and os.path.exists(os.path.join(wdir, "demo_yolo.npz"))):
+        from openglottal_tpu.utils.io import (load_unet_weights,
+                                              load_yolo_weights)
+
+        uvars = load_unet_weights(os.path.join(wdir, "demo_unet.npz"))
+        yvars = load_yolo_weights(os.path.join(wdir, "demo_yolo.npz"))
+        weights_kind = "trained-demo"
+    else:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        _, uvars = init_unet(k1, dtype=jnp.bfloat16)
+        _, yvars = init_yolo(k2, dtype=jnp.bfloat16)
+        weights_kind = "random-init"
     pipe = GlottalPipelines(unet_variables=uvars, yolo_variables=yvars,
                             dtype=jnp.bfloat16)
 
@@ -229,14 +249,12 @@ def main() -> None:
     # trackers: chip-attributable = device-resident gray input, full
     # per-video compute (detect + gate + tracker; areas come back as host
     # arrays — inherently fetch-forced); realistic synthetic content
-    # (fixpoint convergence is content-dependent), distinct per rep
-    def vft_run(gd):
-        valid, boxes = pipe._gated(None, gd)
-        return pipe._vft_compute(gd, valid, boxes, int(gd.shape[0]))[0]
-
-    def ygvft_run(gd):
-        valid, boxes = pipe._gated(None, gd)
-        return pipe._ygvft_compute(gd, valid, boxes, int(gd.shape[0]))[0]
+    # (fixpoint convergence is content-dependent), distinct per rep.
+    # These ARE the production APIs: guided-vft runs the fused one-dispatch
+    # graph (_fused_ygvft_video), vft the two-dispatch form its host-side
+    # crop-size lock requires.
+    vft_run = pipe.vft_areas_gray
+    ygvft_run = pipe.guided_vft_areas_gray
 
     def run_tracker(fn) -> float:
         times = []
@@ -285,6 +303,7 @@ def main() -> None:
         "device_kind": device_kind,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "h2d_bandwidth_MBps": round(mbps, 1),
+        "weights": weights_kind,
     }))
 
 

@@ -22,19 +22,57 @@ def resolve_weights_path(path) -> Path:
     return p
 
 
+def save_weights_npz(variables, path) -> None:
+    """Save a {params, batch_stats} variable tree as one ``.npz`` file
+    (keys = '/'-joined tree paths) — a single-file, framework-neutral
+    checkpoint for small in-repo weights (weights/demo_*.npz)."""
+    import numpy as np
+
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", variables)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def load_weights_npz(path):
+    """Inverse of :func:`save_weights_npz`: '/'-joined keys -> nested dict."""
+    import numpy as np
+
+    tree: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = tree
+            parts = key.split("/")
+            for k in parts[:-1]:
+                node = node.setdefault(k, {})
+            node[parts[-1]] = z[key]
+    return tree
+
+
 def load_unet_weights(path):
-    """Load U-Net variables from an orbax ckpt dir or a torch .pt file."""
+    """Load U-Net variables from an orbax ckpt dir, an ``.npz`` saved by
+    :func:`save_weights_npz`, or a torch .pt file."""
     p = resolve_weights_path(path)
     if not p.exists():
         raise FileNotFoundError(
             f"U-Net weights not found: {path} (also tried weights/{p.name}). "
-            "Expected an orbax checkpoint directory (outputs/unet/best) or a "
-            "torch .pt state_dict.")
+            "Expected an orbax checkpoint directory (outputs/unet/best), a "
+            ".npz weight file, or a torch .pt state_dict.")
     if p.is_dir():
         import orbax.checkpoint as ocp
 
         tree = ocp.StandardCheckpointer().restore(p.resolve())
         return {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    if p.suffix == ".npz":
+        return load_weights_npz(p)
     from openglottal_tpu.utils.torch_import import unet_from_torch
 
     return unet_from_torch(p)
@@ -56,6 +94,8 @@ def load_yolo_weights(path):
 
         tree = ocp.StandardCheckpointer().restore(Path(p).resolve())
         return {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+    if Path(p).suffix == ".npz":
+        return load_weights_npz(p)
     from openglottal_tpu.utils.yolo_import import yolo_from_torch
 
     return yolo_from_torch(p)

@@ -56,3 +56,26 @@ def test_unet_segment_frame_shapes():
     assert out.shape == frame.shape
     assert out.dtype == np.uint8
     assert set(np.unique(out)) <= {0, 255}
+
+
+def test_npz_weights_roundtrip(tmp_path):
+    """save_weights_npz / load_weights_npz preserve the nested variable tree
+    exactly (the in-repo weights/demo_*.npz format; loaders accept .npz
+    alongside orbax dirs and torch .pt)."""
+    from openglottal_tpu.utils.io import (load_unet_weights, load_weights_npz,
+                                          save_weights_npz)
+
+    tree = {
+        "params": {"Conv_0": {"kernel": RNG.random((3, 3, 1, 4)).astype(np.float32),
+                              "bias": np.zeros(4, np.float32)}},
+        "batch_stats": {"BatchNorm_0": {"mean": RNG.random(4).astype(np.float32)}},
+    }
+    path = tmp_path / "w.npz"
+    save_weights_npz(tree, path)
+    for got in (load_weights_npz(path), load_unet_weights(path)):
+        np.testing.assert_array_equal(got["params"]["Conv_0"]["kernel"],
+                                      tree["params"]["Conv_0"]["kernel"])
+        np.testing.assert_array_equal(
+            got["batch_stats"]["BatchNorm_0"]["mean"],
+            tree["batch_stats"]["BatchNorm_0"]["mean"])
+        assert got["params"]["Conv_0"]["bias"].shape == (4,)
