@@ -166,15 +166,19 @@ def main() -> None:
             run_e2e([_perturb(base[i % N_BASE], rng) for i in range(N_VIDEOS)])
         print(f"# trace written to {args.profile}", flush=True)
 
-    # serial compute-path latency (the MFU-bearing number)
+    # serial compute-path latency (the MFU-bearing number); 5 passes because
+    # per-dispatch relay latency swings with shared-pool contention and the
+    # driver samples this once — median of 5 rides out a bad window
     serial_times = []
-    for _ in range(3):
+    for _ in range(5):
         vids = [jax.device_put(_perturb(base[i % N_BASE], rng))
                 for i in range(4)]
         jax.block_until_ready(vids)
         serial_times.append(run_serial(vids) / len(vids))
     dt_serial = sorted(serial_times)[len(serial_times) // 2]
     serial_fps = T_FRAMES / dt_serial
+    serial_spread = [round(T_FRAMES / max(serial_times), 1),
+                     round(T_FRAMES / min(serial_times), 1)]
     mfu = (serial_fps * flops_per_frame / peak
            if flops_per_frame and peak else None)
 
@@ -288,6 +292,10 @@ def main() -> None:
         "value": round(serial_fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(serial_fps / baseline_fps, 2),
+        # serial latency rides the shared relay's per-dispatch round-trip,
+        # which swings with pool contention — the spread makes that visible
+        # (the pipelined figures amortise it and are stable run-to-run)
+        "serial_fps_spread": serial_spread,
         "pipelined_fps": round(pipelined_fps, 1),
         "mfu_pipelined": (round(mfu_pipelined, 4)
                           if mfu_pipelined is not None else None),
