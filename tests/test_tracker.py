@@ -163,6 +163,38 @@ def test_parallel_formulation_matches_scan():
     np.testing.assert_allclose(np.asarray(par_v), np.asarray(seq_v), atol=0.5)
 
 
+def test_ygvft_windowed_tail_matches_scan():
+    """On >=128² frames ygvft_parallel confines its whole tail (percentile ->
+    threshold -> blob filter) to a 128² box-anchored window.  Masks must be
+    BIT-identical and areas equal (reassociation tolerance) to the
+    sequential scan — for the windowed branch (small boxes, incl. a
+    frame-corner box), and for the in-graph full-frame fallback (one box
+    wider than win-2)."""
+    from openglottal_tpu.models.tracker import ygvft_parallel
+
+    p = YGVFTParams()
+    rng = np.random.default_rng(4)
+    T, H, W = 10, 256, 256
+    frames = jnp.asarray((rng.random((T, H, W)) * 255).round().astype(np.float32))
+    init = jnp.asarray((rng.random((2, H, W)) * 255).round().astype(np.float32))
+    valids = jnp.asarray(rng.random(T) < 0.8)
+    x0 = rng.integers(0, 160, T)
+    y0 = rng.integers(0, 160, T)
+    small = np.stack([x0, y0, x0 + rng.integers(5, 96, T),
+                      y0 + rng.integers(5, 96, T)], -1).astype(np.int32)
+    small[0] = [0, 0, 60, 40]          # frame-corner box
+    big = small.copy()
+    big[3] = [5, 5, 230, 200]          # > win-2 -> full-frame fallback
+
+    for boxes in (jnp.asarray(small), jnp.asarray(big)):
+        mp, ap = ygvft_parallel(init, jnp.asarray(True), boxes[0],
+                                frames, valids, boxes, params=p)
+        ms, as_ = ygvft_scan(init, jnp.asarray(True), boxes[0],
+                             frames, valids, boxes, params=p)
+        np.testing.assert_array_equal(np.asarray(mp), np.asarray(ms))
+        np.testing.assert_allclose(np.asarray(ap), np.asarray(as_), atol=0.5)
+
+
 def test_vft_matches_reference_code():
     """State trajectory vs the ACTUAL reference VocalFoldTracker loaded from
     /root/reference (cv2+numpy only — importable without ultralytics).  The
