@@ -230,6 +230,45 @@ def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
 
 
 @_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse"))
+def _fused_yolo_unet_multi(unet_variables, yolo_variables, gray_u8, t_real,
+                           conf: float, dtype, gate_params: GateParams,
+                           fuse: bool = False):
+    """ONE dispatch for a BATCH of videos -> area waveforms (K, T_pad).
+
+    gray_u8: (K, T_pad, 256, 256) uint8 (videos padded to a common bucketed
+    length); t_real: (K,) i32.  The chunk loop runs over all K·T_pad/CHUNK
+    chunks in one ``lax.map`` (same bounded-HBM per-chunk graph as
+    :func:`_fused_yolo_unet_video`), then the per-video gate scans run under
+    ``vmap``.  This is the cohort-serving shape (analyze_gaw processes 65
+    patient videos, reference scripts/analyze_gaw.py:123): one relay
+    dispatch+fetch round-trip (~40 ms measured, results/PROFILE_r03.md) is
+    paid per BATCH instead of per video.
+    """
+    k, t_pad, h, w = gray_u8.shape
+    chunks = gray_u8.reshape(k * t_pad // CHUNK, CHUNK, h, w)
+
+    unet = UNet(dtype=dtype, fuse_bn=fuse)
+    yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
+    uv, yv = _u8_unet(unet_variables), _u8_yolo(yolo_variables)
+
+    def per_chunk(g):
+        x = g.astype(jnp.float32)[..., None]
+        masks = unet.apply(uv, x, train=False)[..., 0] > 0  # sigmoid>0.5
+        outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
+                          train=False)
+        has, box, _ = max_conf_detect(outs, h, w, conf)
+        return masks, has, box
+
+    masks, has, raw = jax.lax.map(per_chunk, chunks)
+    masks = masks.reshape(k, t_pad, h, w)
+    has = has.reshape(k, t_pad) & (jnp.arange(t_pad)[None] < t_real[:, None])
+    raw = raw.reshape(k, t_pad, 4)
+    valid, boxes = jax.vmap(
+        lambda hh, rr: gate_scan(hh, rr, h, w, params=gate_params))(has, raw)
+    return jax.vmap(_box_area_sums)(masks, valid, boxes)
+
+
+@_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse"))
 def _fused_yolo_unet_video_q(qparams, yolo_variables, gray_u8, t_real,
                              conf: float, dtype, gate_params: GateParams,
                              fuse: bool = False):
@@ -942,6 +981,31 @@ class GlottalPipelines:
         masks = self.segment_video(gray)
         valid, boxes = self._gated(None, gray)
         return _box_area_sums(masks, valid, boxes)
+
+    def yolo_unet_areas_gray_multi(self, grays):
+        """YOLO+UNet waveforms for a BATCH of monochrome 256² videos in ONE
+        fused dispatch (``_fused_yolo_unet_multi``) — the cohort-serving
+        form: the per-dispatch relay round-trip is paid once per batch, not
+        per video.  ``grays`` is a sequence of (T_i, 256, 256) uint8 arrays
+        (host or device); returns a list of (T_i,) np.float32 waveforms,
+        each bit-identical to ``yolo_unet_areas_gray`` on that video (same
+        per-chunk graph, causal per-video gate scans, per-video t_real
+        masking).  Videos pad to a common bucketed length; the graph
+        compiles once per (K, T_pad) shape.  Falls back to per-video calls
+        under a mesh or the int8 mode (those paths have their own forms)."""
+        if not grays:
+            return []
+        if self._chunk_spec is not None or self._quant:
+            return [self.yolo_unet_areas_gray(g) for g in grays]
+        ts = [int(g.shape[0]) for g in grays]
+        t_pad = _bucket(max(ts))
+        stacked = jnp.stack([_pad_to(to_device(g), t_pad) for g in grays])
+        areas = _fused_yolo_unet_multi(
+            self.unet_variables, self.yolo_gray_variables, stacked,
+            jnp.asarray(ts, jnp.int32), conf=self.conf, dtype=self.dtype,
+            gate_params=self.gate_params, fuse=self._fuse)
+        areas = np.asarray(areas)
+        return [areas[i, :t] for i, t in enumerate(ts)]
 
     # ── pipeline 4: crop U-Net ────────────────────────────────────────────
 

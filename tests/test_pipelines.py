@@ -134,6 +134,21 @@ def test_gated_non_256_matches_host_oracle(pipe, color):
     np.testing.assert_array_equal(np.asarray(got_b), np.asarray(want_b))
 
 
+def test_multi_video_fused_matches_per_video(pipe, video):
+    """yolo_unet_areas_gray_multi (one dispatch for a whole batch — the
+    cohort-serving form) vs per-video yolo_unet_areas_gray: bit-identical
+    per video, including different lengths within one batch (per-video
+    t_real masking + causal per-video gate scans)."""
+    g1 = np.asarray(bgr_to_gray_u8(video))
+    g2 = np.asarray(bgr_to_gray_u8(synthetic_video(t=7, size=256, seed=9)[0]))
+    multi = pipe.yolo_unet_areas_gray_multi([g1, g2])
+    assert [len(m) for m in multi] == [len(g1), len(g2)]
+    for g, m in zip((g1, g2), multi):
+        np.testing.assert_array_equal(
+            np.asarray(pipe.yolo_unet_areas_gray(g)), m)
+    assert pipe.yolo_unet_areas_gray_multi([]) == []
+
+
 def test_gated_fused_matches_modular(pipe, video):
     """_gated's monochrome fast path (_fused_gated_video — detect + gate as
     ONE dispatch) vs the modular detect_video_gray + gate_scan form:
