@@ -260,6 +260,22 @@ def main() -> None:
     mfu_int8 = (int8_pipelined_fps * flops_per_frame / peak8
                 if flops_per_frame and peak8 else None)
 
+    # int8 + batched cohort dispatch (the fastest serving shape): ONE
+    # quantized fused graph per batch of K videos
+    pipe_q.yolo_unet_areas_gray_multi(
+        [jax.device_put(w) for w in warm[:2]] * (K_BATCH // 2))  # compile
+
+    def run_batched_q() -> float:
+        vids = [jax.device_put(_perturb(base[i % N_BASE], rng))
+                for i in range(N_VIDEOS)]
+        jax.block_until_ready(vids)
+        t0 = time.perf_counter()
+        for j in range(0, N_VIDEOS, K_BATCH):
+            pipe_q.yolo_unet_areas_gray_multi(vids[j:j + K_BATCH])
+        return (time.perf_counter() - t0) / N_VIDEOS
+
+    int8_batched_fps = T_FRAMES / sorted(run_batched_q() for _ in range(3))[1]
+
     # end-to-end pipelined throughput (host->device transfers included);
     # host->device bandwidth through the shared TPU tunnel fluctuates 10-20x
     # with pool contention -> median + worst-of-reps floor
@@ -298,6 +314,23 @@ def main() -> None:
     vft_fps = run_tracker(vft_run)
     ygvft_fps = run_tracker(ygvft_run)
 
+    # guided-vft cohort serving: ONE fused graph per batch of K videos
+    # (_fused_ygvft_multi — shared detection chunks, vmapped gate scans,
+    # flattened tracker tail); the relay round-trip is paid per batch.
+    # Outputs come back as host arrays inside the call (fetch-forced).
+    pipe.guided_vft_areas_gray_multi(
+        [jax.device_put(w) for w in warm[:2]] * (K_BATCH // 2))  # compile
+
+    def run_ygvft_batched() -> float:
+        vids = [jax.device_put(_perturb(base[i % N_BASE], rng))
+                for i in range(K_BATCH)]
+        jax.block_until_ready(vids)
+        t0 = time.perf_counter()
+        pipe.guided_vft_areas_gray_multi(vids)
+        return (time.perf_counter() - t0) / K_BATCH
+
+    ygvft_batched_fps = T_FRAMES / min(run_ygvft_batched() for _ in range(2))
+
     # tunnel bandwidth this run happened to get (observed 0.07-2 GB/s)
     vids = [_perturb(base[i % N_BASE], rng) for i in range(4)]
     t0 = time.perf_counter()
@@ -325,11 +358,13 @@ def main() -> None:
                         if mfu_batched is not None else None),
         "int8_serial_fps": round(int8_serial_fps, 1),
         "int8_pipelined_fps": round(int8_pipelined_fps, 1),
+        "int8_batched_fps": round(int8_batched_fps, 1),
         "mfu_int8": round(mfu_int8, 4) if mfu_int8 is not None else None,
         "e2e_fps": round(fps, 1),
         "e2e_floor_fps": round(fps_floor, 1),
         "vft_fps": round(vft_fps, 1),
         "guided_vft_fps": round(ygvft_fps, 1),
+        "guided_vft_batched_fps": round(ygvft_batched_fps, 1),
         "flops_per_frame": (round(flops_per_frame)
                             if flops_per_frame else None),
         "device_kind": device_kind,

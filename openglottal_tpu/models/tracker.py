@@ -328,6 +328,82 @@ def ygvft_parallel(init_frames, first_valid, first_box, frames, valids, boxes,
 
 
 @partial(jax.jit, static_argnames=("params",))
+def ygvft_parallel_multi(init_frames, first_valid, first_box, frames, valids,
+                         boxes, active, params: YGVFTParams = YGVFTParams()):
+    """Frame-parallel guided VFT over a BATCH of K videos in one graph —
+    areas only (the cohort-serving form; masks are never materialized).
+
+    init_frames (K, I, H, W), first_valid (K,), first_box (K, 4),
+    frames (K, T, H, W), valids (K, T), boxes (K, T, 4), active (K, T)
+    -> areas (K, T) f32.
+
+    Per-video results are bit-identical to :func:`ygvft_parallel`: every
+    data-dependent stage (masked percentile, threshold compare, top-n blob
+    filter) is per-frame independent, so all K·T frames run flattened
+    through the same batched ops; only the per-video pieces — the seed
+    threshold (``ygvft_initialize``) and the scalar threshold EMA chain —
+    run under ``vmap``.  The windowed/full choice is made ONCE for the whole
+    batch (any oversized box anywhere sends every video down the full-frame
+    pass) — both branches are bit-identical by the window/full equivalence
+    pinned at ops/blobs.top_n_blobs_batch_roi, so the shared choice only
+    affects speed, never values.
+
+    The motion-map EMA (prev/lmap carries) is dead state for YGVFT — the ROI
+    is always the bbox (reference tracker.py:205-232).  ``ygvft_parallel``
+    computes it and lets XLA DCE it; here only ``ygvft_initialize``'s copy
+    exists (vmapped), likewise DCE'd.
+    """
+    p = params
+    k, t, h, w = frames.shape
+    _, _, thresh0 = jax.vmap(
+        lambda f, v, b: ygvft_initialize(f, v, b, p))(
+        init_frames, first_valid, first_box)
+
+    ff = frames.astype(jnp.float32).reshape(k * t, h, w)
+    boxes_f = boxes.reshape(k * t, 4)
+    valids_f = valids.reshape(k * t)
+    active_f = active.reshape(k * t)
+
+    def roi_for(rows, cols):
+        return ((rows >= boxes_f[:, 1, None, None])
+                & (rows < boxes_f[:, 3, None, None])
+                & (cols >= boxes_f[:, 0, None, None])
+                & (cols < boxes_f[:, 2, None, None])
+                & valids_f[:, None, None])
+
+    def tail(ffx, roix):
+        cur, n_px = masked_percentile_u8_batch(ffx, roix,
+                                               p.glottal_percentile)
+        thresh = jax.vmap(
+            lambda th0, c, n_, a: _thresh_chain(th0, c, n_, a, p.beta))(
+            thresh0, cur.reshape(k, t), n_px.reshape(k, t), active)
+        raw = ((ffx < thresh.reshape(k * t)[:, None, None])
+               & roix & active_f[:, None, None])
+        masks_x = top_n_blobs_batch(raw, p.max_glottal_components)
+        return masks_x.sum((1, 2)).astype(jnp.float32).reshape(k, t)
+
+    def full(ffx):
+        rows = jnp.arange(h)[None, :, None]
+        cols = jnp.arange(w)[None, None, :]
+        return tail(ffx, roi_for(rows, cols))
+
+    win = 128
+    if h < win or w < win:
+        return full(ff)
+
+    fits, oy, ox = roi_window_origin(boxes_f, h, w, win)
+
+    def windowed(ffx):
+        ff_w = jax.vmap(lambda fr, yy, xx: jax.lax.dynamic_slice(
+            fr, (yy, xx), (win, win)))(ffx, oy, ox)
+        rows = oy[:, None, None] + jnp.arange(win)[None, :, None]
+        cols = ox[:, None, None] + jnp.arange(win)[None, None, :]
+        return tail(ff_w, roi_for(rows, cols))
+
+    return jax.lax.cond(fits, windowed, full, ff)
+
+
+@partial(jax.jit, static_argnames=("params",))
 def vft_parallel(init_frames, frames, active=None,
                  params: VFTParams = VFTParams()):
     """Frame-parallel VFT — same outputs as :func:`vft_scan` up to float

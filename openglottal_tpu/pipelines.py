@@ -35,6 +35,7 @@ from openglottal_tpu.models.tracker import (
     vft_scan_carry,
     ygvft_initialize,
     ygvft_parallel,
+    ygvft_parallel_multi,
     ygvft_scan,
     ygvft_scan_carry,
 )
@@ -256,6 +257,48 @@ def _fused_yolo_unet_multi(unet_variables, yolo_variables, gray_u8, t_real,
         masks = unet.apply(uv, x, train=False)[..., 0] > 0  # sigmoid>0.5
         outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
                           train=False)
+        has, box, _ = max_conf_detect(outs, h, w, conf)
+        return masks, has, box
+
+    masks, has, raw = jax.lax.map(per_chunk, chunks)
+    masks = masks.reshape(k, t_pad, h, w)
+    has = has.reshape(k, t_pad) & (jnp.arange(t_pad)[None] < t_real[:, None])
+    raw = raw.reshape(k, t_pad, 4)
+    valid, boxes = jax.vmap(
+        lambda hh, rr: gate_scan(hh, rr, h, w, params=gate_params))(has, raw)
+    return jax.vmap(_box_area_sums)(masks, valid, boxes)
+
+
+@_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse"))
+def _fused_yolo_unet_multi_q(qparams, yolo_variables, gray_u8, t_real,
+                             conf: float, dtype, gate_params: GateParams,
+                             fuse: bool = False):
+    """int8 variant of :func:`_fused_yolo_unet_multi` (cohort serving in the
+    opt-in quantized mode): same batched chunk loop + vmapped per-video gate
+    scans, with the U-Net post-training-quantized (models/quant.qunet_masks)
+    and the detector bf16 unless ``qparams`` carries a "yolo" entry
+    ("int8-full") — the same split as :func:`_fused_yolo_unet_video_q`."""
+    k, t_pad, h, w = gray_u8.shape
+    chunks = gray_u8.reshape(k * t_pad // CHUNK, CHUNK, h, w)
+
+    from openglottal_tpu.models.quant import qunet_masks, qyolo_forward
+
+    if "yolo" not in qparams:
+        yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
+        yv = _u8_yolo(yolo_variables)
+    else:
+        cin = qparams["yolo"]["stem_bf16"]["kernel"].shape[2]
+
+    def per_chunk(g):
+        masks = qunet_masks(qparams["unet"], g)
+        if "yolo" in qparams:
+            x = g.astype(jnp.float32)[..., None]
+            if cin == 3:
+                x = jnp.broadcast_to(x, x.shape[:3] + (3,))
+            outs = qyolo_forward(qparams["yolo"], x)
+        else:
+            outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
+                              train=False)
         has, box, _ = max_conf_detect(outs, h, w, conf)
         return masks, has, box
 
@@ -548,6 +591,75 @@ def _fused_ygvft_video(yolo_variables, gray_u8, t_real, conf: float, dtype,
         g32[YGVFT_INIT:], valid[YGVFT_INIT:], boxes[YGVFT_INIT:], active,
         params=ygvft_params)
     return areas
+
+
+def _detect_gate_multi_graph(yolo_variables, gray_u8, t_real, conf: float,
+                             dtype, gate_params: GateParams, fuse: bool):
+    """Trace-level detect+gate over a BATCH of padded monochrome videos:
+    gray_u8 (K, T_pad, 256, 256) uint8, t_real (K,) i32 -> (valid (K, T_pad),
+    boxes (K, T_pad, 4)).  All K·T_pad/CHUNK chunks run through one
+    ``lax.map`` (same per-chunk graph as :func:`_detect_gate_graph`), then
+    the causal per-video gate scans run under ``vmap`` — per-video results
+    bit-identical to :func:`_detect_gate_graph` (per-video t_real masking
+    keeps padded frames as misses)."""
+    k, t_pad, h, w = gray_u8.shape
+    chunks = gray_u8.reshape(k * t_pad // CHUNK, CHUNK, h, w)
+    yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
+    yv = _u8_yolo(yolo_variables)
+
+    def per_chunk(g):
+        outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
+                          train=False)
+        has, box, _ = max_conf_detect(outs, h, w, conf)
+        return has, box
+
+    has, raw = jax.lax.map(per_chunk, chunks)
+    has = has.reshape(k, t_pad) & (jnp.arange(t_pad)[None] < t_real[:, None])
+    raw = raw.reshape(k, t_pad, 4)
+    return jax.vmap(
+        lambda hh, rr: gate_scan(hh, rr, h, w, params=gate_params))(has, raw)
+
+
+@_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse"))
+def _fused_gated_multi(yolo_variables, gray_u8, t_real, conf: float, dtype,
+                       gate_params: GateParams, fuse: bool = False):
+    """ONE dispatch: a batch of padded monochrome videos -> gated
+    (valid (K, T_pad), boxes (K, T_pad, 4)).  The cohort form of
+    :func:`_fused_gated_video`: the ~40 ms/video relay dispatch+fetch
+    round-trip is paid once per batch.  Used by the VFT cohort path, whose
+    tracker stage must return to host anyway (host-locked crop sizes)."""
+    return _detect_gate_multi_graph(yolo_variables, gray_u8, t_real, conf,
+                                    dtype, gate_params, fuse)
+
+
+@_jit_hot(static_argnames=("conf", "dtype", "gate_params", "ygvft_params",
+                           "fuse"))
+def _fused_ygvft_multi(yolo_variables, gray_u8, t_real, conf: float, dtype,
+                       gate_params: GateParams, ygvft_params: YGVFTParams,
+                       fuse: bool = False):
+    """ONE dispatch for a BATCH of guided-VFT videos (pipeline 2, cohort
+    serving): YOLO chunks + per-video gate scans + the batched frame-parallel
+    tracker (models/tracker.ygvft_parallel_multi) in a single jitted graph.
+
+    gray_u8: (K, T_pad, 256, 256) uint8 (videos padded to a common bucketed
+    length, T_pad > YGVFT_INIT); t_real: (K,) i32.  Returns areas
+    (K, T_pad - YGVFT_INIT) f32 for the tracked frames — per-video
+    bit-identical to :func:`_fused_ygvft_video` (same detection chunks,
+    causal per-video gate scans, per-frame-independent tracker tail; padded
+    frames emit zero via per-video ``active`` masking)."""
+    k, t_pad = gray_u8.shape[:2]
+    valid, boxes = _detect_gate_multi_graph(yolo_variables, gray_u8, t_real,
+                                            conf, dtype, gate_params, fuse)
+    g32 = gray_u8.astype(jnp.float32)
+    vin = valid[:, :YGVFT_INIT]
+    fi = jnp.argmax(vin, axis=1)  # first valid index among the init frames
+    first_box = jnp.take_along_axis(boxes, fi[:, None, None], axis=1)[:, 0]
+    active = (jnp.arange(t_pad - YGVFT_INIT)[None]
+              < (t_real - YGVFT_INIT)[:, None])
+    return ygvft_parallel_multi(
+        g32[:, :YGVFT_INIT], vin.any(axis=1), first_box,
+        g32[:, YGVFT_INIT:], valid[:, YGVFT_INIT:], boxes[:, YGVFT_INIT:],
+        active, params=ygvft_params)
 
 
 def is_monochrome(frames_np) -> bool:
@@ -991,19 +1103,32 @@ class GlottalPipelines:
         each bit-identical to ``yolo_unet_areas_gray`` on that video (same
         per-chunk graph, causal per-video gate scans, per-video t_real
         masking).  Videos pad to a common bucketed length; the graph
-        compiles once per (K, T_pad) shape.  Falls back to per-video calls
-        under a mesh or the int8 mode (those paths have their own forms)."""
+        compiles once per (K, T_pad) shape.  In the int8 serving mode the
+        batch runs through the quantized cohort graph
+        (``_fused_yolo_unet_multi_q``).  Falls back to per-video calls under
+        a mesh (that path has its own frame-sharded form) or for non-256²
+        frames (per-video letterboxes through 256, so the batch must too)."""
         if not grays:
             return []
-        if self._chunk_spec is not None or self._quant:
+        if (self._chunk_spec is not None
+                or any(tuple(g.shape[1:3]) != (256, 256) for g in grays)):
             return [self.yolo_unet_areas_gray(g) for g in grays]
         ts = [int(g.shape[0]) for g in grays]
         t_pad = _bucket(max(ts))
-        stacked = jnp.stack([_pad_to(to_device(g), t_pad) for g in grays])
-        areas = _fused_yolo_unet_multi(
-            self.unet_variables, self.yolo_gray_variables, stacked,
-            jnp.asarray(ts, jnp.int32), conf=self.conf, dtype=self.dtype,
-            gate_params=self.gate_params, fuse=self._fuse)
+        devs = [to_device(g) for g in grays]
+        stacked = jnp.stack([_pad_to(d, t_pad) for d in devs])
+        if self._quant:
+            # auto-calibration (if still pending) sees a real video, not the
+            # zero-padded stack — same content the per-video path would use
+            areas = _fused_yolo_unet_multi_q(
+                self._q(devs[0]), self.yolo_gray_variables, stacked,
+                jnp.asarray(ts, jnp.int32), conf=self.conf, dtype=self.dtype,
+                gate_params=self.gate_params, fuse=self._fuse)
+        else:
+            areas = _fused_yolo_unet_multi(
+                self.unet_variables, self.yolo_gray_variables, stacked,
+                jnp.asarray(ts, jnp.int32), conf=self.conf, dtype=self.dtype,
+                gate_params=self.gate_params, fuse=self._fuse)
         areas = np.asarray(areas)
         return [areas[i, :t] for i, t in enumerate(ts)]
 
@@ -1157,6 +1282,42 @@ class GlottalPipelines:
         areas, _ = self._ygvft_compute(gray, valid, boxes, t)
         return areas
 
+    def guided_vft_areas_gray_multi(self, grays):
+        """Guided-VFT waveforms for a BATCH of monochrome 256² videos in ONE
+        fused dispatch (``_fused_ygvft_multi``) — the cohort-serving form of
+        ``guided_vft_areas_gray``: detection chunks for all videos run
+        through one ``lax.map``, gate scans and the tracker's per-video
+        pieces under ``vmap``, and the per-dispatch relay round-trip is paid
+        once per batch.  ``grays`` is a sequence of (T_i, 256, 256) uint8
+        arrays; returns a list of (T_i,) np.float32 waveforms, each
+        bit-identical to ``guided_vft_areas_gray`` on that video; videos
+        shorter than YGVFT_INIT + 2 yield None (same contract).  Falls back
+        to per-video calls under a mesh, the sequential-tracker debug mode,
+        or non-256² frames."""
+        if not grays:
+            return []
+        if (self._chunk_spec is not None or not self.parallel_trackers
+                or any(tuple(g.shape[1:3]) != (256, 256) for g in grays)):
+            return [self.guided_vft_areas_gray(g) for g in grays]
+        ts = [int(g.shape[0]) for g in grays]
+        run = [i for i, t in enumerate(ts) if t >= YGVFT_INIT + 2]
+        out = [None] * len(grays)
+        if run:
+            t_pad = _bucket(max(ts[i] for i in run))
+            stacked = jnp.stack(
+                [_pad_to(to_device(grays[i]), t_pad) for i in run])
+            areas_v = np.asarray(_fused_ygvft_multi(
+                self.yolo_gray_variables, stacked,
+                jnp.asarray([ts[i] for i in run], jnp.int32), conf=self.conf,
+                dtype=self.dtype, gate_params=self.gate_params,
+                ygvft_params=self.ygvft_params, fuse=self._fuse))
+            for row, i in enumerate(run):
+                t = ts[i]
+                areas = np.zeros(t, np.float32)
+                areas[YGVFT_INIT:] = areas_v[row, :t - YGVFT_INIT]
+                out[i] = areas
+        return out
+
     def vft_areas_gray(self, gray_u8):
         """VFT waveform for monochrome video (device-resident input OK).
         Two dispatches by construction: the crop size is locked host-side
@@ -1168,6 +1329,37 @@ class GlottalPipelines:
             return None
         valid, boxes = self._gated(None, gray)
         return self._vft_compute(gray, valid, boxes, t)[0]
+
+    def vft_areas_gray_multi(self, grays):
+        """VFT waveforms for a batch of monochrome 256² videos: ONE fused
+        detect+gate dispatch for the whole cohort (``_fused_gated_multi``),
+        then per-video tracker passes — the crop size is locked host-side
+        from each video's first gated box (a per-video static shape,
+        features.py:124-127), so the tracker stage cannot join the batched
+        graph the way guided-VFT's does.  Per-video results bit-identical to
+        ``vft_areas_gray``; videos shorter than VFT_INIT + 5 yield None."""
+        if not grays:
+            return []
+        if (self._chunk_spec is not None
+                or any(tuple(g.shape[1:3]) != (256, 256) for g in grays)):
+            return [self.vft_areas_gray(g) for g in grays]
+        ts = [int(g.shape[0]) for g in grays]
+        run = [i for i, t in enumerate(ts) if t >= VFT_INIT + 5]
+        out = [None] * len(grays)
+        if run:
+            devs = [to_device(grays[i]) for i in run]
+            t_pad = _bucket(max(ts[i] for i in run))
+            stacked = jnp.stack([_pad_to(d, t_pad) for d in devs])
+            valid, boxes = _fused_gated_multi(
+                self.yolo_gray_variables, stacked,
+                jnp.asarray([ts[i] for i in run], jnp.int32), conf=self.conf,
+                dtype=self.dtype, gate_params=self.gate_params,
+                fuse=self._fuse)
+            for row, i in enumerate(run):
+                t = ts[i]
+                out[i] = self._vft_compute(devs[row], valid[row, :t],
+                                           boxes[row, :t], t)[0]
+        return out
 
     def ygvft_eval_masks(self, gray, valid, boxes):
         """Masks for the eval ``yolo+motion`` row: (t - YGVFT_INIT, h, w) for

@@ -11,7 +11,8 @@ from openglottal_tpu.data.synthetic import synthetic_video
 from openglottal_tpu.data.video import bgr_to_gray_u8
 from openglottal_tpu.models.unet import init_unet
 from openglottal_tpu.models.yolo import init_yolo
-from openglottal_tpu.pipelines import GlottalPipelines, is_monochrome
+from openglottal_tpu.pipelines import (VFT_INIT, GlottalPipelines,
+                                        is_monochrome)
 
 
 @pytest.fixture(scope="module")
@@ -147,6 +148,37 @@ def test_multi_video_fused_matches_per_video(pipe, video):
         np.testing.assert_array_equal(
             np.asarray(pipe.yolo_unet_areas_gray(g)), m)
     assert pipe.yolo_unet_areas_gray_multi([]) == []
+
+
+def test_guided_vft_multi_matches_per_video(pipe, video):
+    """guided_vft_areas_gray_multi (one fused dispatch for a whole cohort:
+    shared detection chunks, vmapped gate scans + tracker init/threshold
+    chains, flattened per-frame tracker tail) vs per-video
+    guided_vft_areas_gray: bit-identical per video across mixed lengths;
+    too-short videos yield None (same contract as the per-video call)."""
+    g1 = np.asarray(bgr_to_gray_u8(video))
+    g2 = np.asarray(bgr_to_gray_u8(synthetic_video(t=7, size=256, seed=9)[0]))
+    short = g1[:3]  # < YGVFT_INIT + 2
+    multi = pipe.guided_vft_areas_gray_multi([g1, short, g2])
+    assert multi[1] is None
+    for g, m in zip((g1, g2), (multi[0], multi[2])):
+        np.testing.assert_array_equal(
+            np.asarray(pipe.guided_vft_areas_gray(g)), m)
+    assert pipe.guided_vft_areas_gray_multi([]) == []
+
+
+def test_vft_multi_matches_per_video(pipe, video):
+    """vft_areas_gray_multi (one fused detect+gate dispatch for the cohort,
+    per-video tracker passes) vs per-video vft_areas_gray: bit-identical;
+    too-short videos yield None."""
+    g1 = np.asarray(bgr_to_gray_u8(video))
+    g2 = np.asarray(bgr_to_gray_u8(synthetic_video(t=9, size=256, seed=9)[0]))
+    short = g1[:VFT_INIT + 3]  # < VFT_INIT + 5
+    multi = pipe.vft_areas_gray_multi([g1, short, g2])
+    assert multi[1] is None
+    for g, m in zip((g1, g2), (multi[0], multi[2])):
+        np.testing.assert_array_equal(np.asarray(pipe.vft_areas_gray(g)), m)
+    assert pipe.vft_areas_gray_multi([]) == []
 
 
 def test_gated_fused_matches_modular(pipe, video):

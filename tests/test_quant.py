@@ -138,6 +138,36 @@ def test_int8_pipeline_areas_track_bf16(mode):
         plmod._bucket = old_bucket
 
 
+def test_int8_multi_matches_per_video():
+    """yolo_unet_areas_gray_multi in the int8 serving mode (ONE quantized
+    cohort graph per batch, ``_fused_yolo_unet_multi_q``) vs per-video int8
+    calls: bit-identical per video across mixed lengths — same quantized
+    per-chunk graph, shared calibration, causal per-video gate scans."""
+    import openglottal_tpu.pipelines as plmod
+    from openglottal_tpu.data.synthetic import synthetic_video
+    from openglottal_tpu.models.yolo import init_yolo
+    from openglottal_tpu.pipelines import GlottalPipelines
+
+    g1 = np.ascontiguousarray(synthetic_video(t=8, size=256, seed=11)[0][..., 0])
+    g2 = np.ascontiguousarray(synthetic_video(t=5, size=256, seed=12)[0][..., 0])
+    _, uv = init_unet(jax.random.PRNGKey(2), dtype=jnp.float32, size=256)
+    _, yv = init_yolo(jax.random.PRNGKey(3), dtype=jnp.float32)
+
+    old_chunk, old_bucket = plmod.CHUNK, plmod._bucket
+    plmod.CHUNK = 8
+    plmod._bucket = lambda t, chunk=8: max(chunk, -(-t // chunk) * chunk)
+    try:
+        pipe = GlottalPipelines(unet_variables=uv, yolo_variables=yv,
+                                conf=0.0, dtype=jnp.float32, quant="int8")
+        per = [np.asarray(pipe.yolo_unet_areas_gray(g)) for g in (g1, g2)]
+        multi = pipe.yolo_unet_areas_gray_multi([g1, g2])
+        for want, got in zip(per, multi):
+            np.testing.assert_array_equal(want, got)
+    finally:
+        plmod.CHUNK = old_chunk
+        plmod._bucket = old_bucket
+
+
 def test_quantize_unet_requires_folded():
     _, variables = init_unet(jax.random.PRNGKey(0), dtype=jnp.float32,
                              size=64)
