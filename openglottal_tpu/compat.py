@@ -320,3 +320,54 @@ class GlottisDataset:
                     torch.from_numpy(y).unsqueeze(0))
         except ImportError:
             return x[None], y[None]
+
+
+class GlottisDatasetHDF5:
+    """Drop-in indexable dataset over a reference-format HDF5 cache
+    (openglottal/data.py:262-329): pre-letterboxed uint8 ``images``/``masks``
+    datasets, loaded once into RAM, with the same optional train-time
+    augmentation as :class:`GlottisDataset`.
+
+    Returns torch float tensors (1, 256, 256) like the reference (numpy
+    when torch is unavailable).  The reference reads items lazily through
+    h5py per ``__getitem__``; here the whole cache is materialised up front
+    (data/dataset.load_glottis_hdf5) — the TPU trainers want packed arrays,
+    and the caches are small (uint8 256², ~65 KB/frame).
+    """
+
+    SIZE = 256
+
+    def __init__(self, h5_path, augment: bool = False, seed: int = 0):
+        from openglottal_tpu.data.dataset import load_glottis_hdf5
+
+        self.h5_path = str(h5_path)
+        self.images, self.masks = load_glottis_hdf5(h5_path)
+        self.augment = augment
+        import jax
+
+        self._key = jax.random.PRNGKey(seed)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, idx: int):
+        x = self.images[idx].astype(np.float32) / 255.0
+        y = (self.masks[idx] > 0).astype(np.float32)
+
+        if self.augment:
+            import jax
+            import jax.numpy as jnp
+
+            from openglottal_tpu.data.augment import augment_batch
+
+            self._key, k = jax.random.split(self._key)
+            xa, ya = augment_batch(k, jnp.asarray(x)[None], jnp.asarray(y)[None])
+            x, y = np.asarray(xa[0]), np.asarray(ya[0])
+
+        try:
+            import torch
+
+            return (torch.from_numpy(x).unsqueeze(0),
+                    torch.from_numpy(y).unsqueeze(0))
+        except ImportError:
+            return x[None], y[None]

@@ -14,6 +14,7 @@ _REF_NAMES = {
     "resolve_kaggle_data_paths": ("openglottal_tpu.data.kaggle_paths",
                                   "resolve_kaggle_data_paths"),
     "GlottisDataset": ("openglottal_tpu.compat", "GlottisDataset"),
+    "GlottisDatasetHDF5": ("openglottal_tpu.compat", "GlottisDatasetHDF5"),
 }
 
 

@@ -117,3 +117,13 @@ def unet_segment_frame(frame_gray: np.ndarray, variables, device=None,
     mask = segment_frames(variables, jnp.asarray(frame_gray)[None],
                           threshold=threshold)[0]
     return np.asarray(mask).astype(np.uint8) * 255
+
+
+def _silence_stderr():
+    """Context manager muting fd-2 (reference utils.py:29-39 — OpenCV's
+    ffmpeg backend spams stderr on some AVIs).  Re-exported here for
+    reference-surface parity; the implementation lives with the video IO
+    that needs it (data/video.py)."""
+    from openglottal_tpu.data.video import _silence_stderr as _impl
+
+    return _impl()

@@ -141,3 +141,38 @@ def test_glottis_dataset_drop_in(tmp_path):
     assert set(np.unique(ya)) <= {0.0, 1.0}
     xb = np.asarray(aug[0][0])
     assert not np.array_equal(xa, xb)  # fresh key per draw
+
+
+def test_glottis_dataset_hdf5_drop_in(tmp_path):
+    """Reference data.py:262-329: indexable HDF5-cache dataset, augment knob."""
+    h5py = pytest.importorskip("h5py")
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (3, 256, 256), dtype=np.uint8)
+    masks = (rng.random((3, 256, 256)) > 0.9).astype(np.uint8)
+    path = tmp_path / "cache.h5"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("images", data=images, dtype="u1")
+        f.create_dataset("masks", data=masks, dtype="u1")
+
+    from openglottal_tpu.data import GlottisDatasetHDF5
+
+    ds = GlottisDatasetHDF5(path)
+    assert len(ds) == 3
+    x, y = ds[1]
+    x, y = np.asarray(x), np.asarray(y)
+    assert x.shape == (1, 256, 256) and y.shape == (1, 256, 256)
+    assert np.allclose(x[0], images[1].astype(np.float32) / 255.0)
+    assert np.array_equal(y[0], (masks[1] > 0).astype(np.float32))
+
+    aug = GlottisDatasetHDF5(path, augment=True, seed=0)
+    xa, ya = np.asarray(aug[0][0]), np.asarray(aug[0][1])
+    assert xa.shape == (1, 256, 256)
+    assert set(np.unique(ya)) <= {0.0, 1.0}
+
+
+def test_silence_stderr_under_utils():
+    """Reference utils.py:29-39 name surface."""
+    from openglottal_tpu.utils import _silence_stderr
+
+    with _silence_stderr():
+        pass
