@@ -165,11 +165,17 @@ class YoloTrainer:
         return state.replace(opt_state=opt_state)
 
     def fit(self, imgs_rgb_u8, boxes, val_imgs=None, val_boxes=None,
-            epochs: int = 100, ckpt_dir=None, verbose=True,
-            state: YoloTrainState | None = None, mosaic: bool = True,
-            close_mosaic: int = 10):
+            epochs: int = 100, patience: int | None = None, ckpt_dir=None,
+            verbose=True, state: YoloTrainState | None = None,
+            mosaic: bool = True, close_mosaic: int = 10):
         """imgs_rgb_u8: (N, 256, 256, 3) uint8 RGB; boxes: (N, 4) xyxy px
-        (-1 rows = no object).
+        (-1 rows = no object).  Returns ``(state, best, history)`` where
+        ``best`` is the variables dict of the best epoch — highest
+        ``recall/val`` when a val set is given (lowest train loss otherwise)
+        — mirroring the U-Net trainer's best/latest/patience contract
+        (reference train_unet.py:204-213; ultralytics' best.pt tracks the
+        val fitness metric the same way).  ``patience`` stops after that
+        many epochs without improvement.
 
         ``mosaic``/``close_mosaic`` follow ultralytics defaults: mosaic4 on
         every epoch except the final ``close_mosaic`` ones (with the paper's
@@ -188,6 +194,9 @@ class YoloTrainer:
         history = []
         warmup = min(3, max(1, epochs // 10))  # ultralytics-style lr warmup
         mosaic_off_at = epochs - close_mosaic  # ultralytics trainer semantics
+        best_metric = -float("inf")
+        best = None
+        bad_epochs = 0
         for epoch in range(epochs):
             lr = self.lr0 * (1 + math.cos(math.pi * epoch / epochs)) / 2
             if epoch < warmup:
@@ -229,9 +238,27 @@ class YoloTrainer:
             if ckpt_dir is not None:
                 self.save(ckpt_dir, state, "latest")
                 (Path(ckpt_dir) / "metrics.jsonl").open("a").write(json.dumps(rec) + "\n")
-        if ckpt_dir is not None:
-            self.save(ckpt_dir, state, "best")
-        return state, history
+            # improvement metric: recall/val when available, else -train loss
+            # (no val set: the reference's unified recipe falls back the same
+            # way in the U-Net trainer)
+            metric = (rec["recall/val"] if val_imgs is not None
+                      else -(rec["loss/train"]
+                             if rec["loss/train"] is not None else math.inf))
+            if metric > best_metric:
+                best_metric = metric
+                best = jax.device_get(
+                    {"params": state.params, "batch_stats": state.batch_stats})
+                bad_epochs = 0
+                if ckpt_dir is not None:
+                    self.save(ckpt_dir, state, "best")
+            else:
+                bad_epochs += 1
+                if patience is not None and bad_epochs >= patience:
+                    if verbose:
+                        print(f"early stop at epoch {epoch + 1} "
+                              f"(no val improvement for {patience})", flush=True)
+                    break
+        return state, best, history
 
     def eval_recall(self, state, imgs_rgb_u8, boxes, conf: float = 0.25,
                     iou_thresh: float = 0.5, batch: int = 64) -> float:

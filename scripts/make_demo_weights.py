@@ -65,7 +65,7 @@ def main() -> None:
 
     yt = YoloTrainer(batch_size=16, lr=2e-3)
     # mosaic off: tiny synthetic set, same rationale as selftest_e2e.py
-    ystate, yhist = yt.fit(tr_f[..., ::-1], tr_b, va_f[..., ::-1], va_b,
+    ystate, _, yhist = yt.fit(tr_f[..., ::-1], tr_b, va_f[..., ::-1], va_b,
                            epochs=args.epochs_yolo, mosaic=False, verbose=True)
     yvars = {"params": ystate.params, "batch_stats": ystate.batch_stats}
 

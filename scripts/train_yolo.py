@@ -28,6 +28,10 @@ def main() -> None:
     p.add_argument("--training-json", required=True)
     p.add_argument("--mask-suffix", default="")
     p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--patience", type=int, default=None,
+                   help="early stop after N epochs without recall/val "
+                        "improvement (reference train_unet.py:209-213 "
+                        "semantics, applied to the detector)")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--subset-frac", type=float, default=1.0)
@@ -69,11 +73,14 @@ def main() -> None:
         state = trainer.init_state(resume_params=jax.tree.map(
             jnp.asarray, variables["params"]))
 
-    state, history = trainer.fit(tr_i, tr_b, va_i, va_b, epochs=args.epochs,
-                                 mosaic=not args.no_mosaic,
-                                 close_mosaic=args.close_mosaic,
-                                 ckpt_dir=args.output_dir, state=state)
-    print(json.dumps({"final_val_recall": history[-1].get("recall/val")}))
+    state, best, history = trainer.fit(
+        tr_i, tr_b, va_i, va_b, epochs=args.epochs,
+        patience=args.patience, mosaic=not args.no_mosaic,
+        close_mosaic=args.close_mosaic, ckpt_dir=args.output_dir, state=state)
+    print(json.dumps({
+        "final_val_recall": history[-1].get("recall/val"),
+        "best_val_recall": max((h.get("recall/val") or 0) for h in history),
+    }))
 
 
 if __name__ == "__main__":
