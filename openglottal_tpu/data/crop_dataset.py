@@ -131,3 +131,30 @@ def materialize_yolo_crops(fnames, img_dir, lbl_dir, pipe,
     if cache_dir is not None:
         np.savez_compressed(cache, images=images, masks=masks)
     return images, masks
+
+
+def materialize_gt_crops_arrays(gray_u8: np.ndarray, masks: np.ndarray,
+                                pad: int = 8):
+    """GT-bbox crops from in-memory arrays (the integration gate's path —
+    selftest trains a crop U-Net without touching disk; same geometry as
+    :func:`materialize_gt_crops`, reference train_unet_crop.py:216-346).
+
+    gray_u8: (N, H, W) uint8; masks: (N, H, W) {0,1}.  Empty-mask frames
+    are skipped.  Returns (images (M,256,256) u8, masks (M,256,256) u8).
+    """
+    images, out_masks = [], []
+    for img, msk in zip(np.asarray(gray_u8), np.asarray(masks)):
+        if msk.max() == 0:
+            continue
+        ys, xs = np.nonzero(msk > 0)
+        h, w = img.shape
+        y1, y2 = max(0, ys.min() - pad), min(h, ys.max() + 1 + pad)
+        x1, x2 = max(0, xs.min() - pad), min(w, xs.max() + 1 + pad)
+        ci, cm = _letterbox_crop(img[y1:y2, x1:x2],
+                                 msk[y1:y2, x1:x2].astype(np.uint8))
+        images.append(ci)
+        out_masks.append((cm > 0).astype(np.uint8))
+    images = np.stack(images) if images else np.zeros((0, SIZE, SIZE), np.uint8)
+    out_masks = (np.stack(out_masks) if out_masks
+                 else np.zeros((0, SIZE, SIZE), np.uint8))
+    return images, out_masks

@@ -1,12 +1,20 @@
-"""End-to-end self-test without datasets: train U-Net + YOLO on synthetic
-glottis videos, then run the full GIRAFE-style evaluation.
+"""End-to-end self-test without datasets: train U-Net + YOLO (+ a crop-mode
+U-Net) on synthetic glottis videos, then run the full GIRAFE-style evaluation.
 
 This is the framework's integration gate (SURVEY.md §4d): it exercises the
-trainers, checkpoints, batched pipelines, temporal gate and the evaluation
-core with REAL (trained) weights.  Expected outcome on the synthetic domain:
-U-Net Dice > 0.9, detector recall > 0.95, yolo+unet Dice close to unet-only.
+trainers, checkpoints, batched pipelines, temporal gate, the crop pipeline's
+documented fix path (train on crops -> recover crop Dice, reference
+train_unet_crop.py:216-346 + eval_girafe.py:127-159), the int8 serving modes,
+and the evaluation core with REAL (trained) weights.
 
-Usage:  python scripts/selftest_e2e.py [--epochs-unet 6] [--epochs-yolo 20]
+With ``--realistic`` the synthetic domain is ADVERSARIAL to thresholding
+(data/synthetic.py docstring) and the gate asserts the reference's real-data
+pipeline ORDERING (eval_girafe.py:54-58 + README.md:131-138): learned
+pipelines high, yolo+otsu < 0.5, yolo+motion < 0.6, with a clear margin —
+a domain a 10-line Otsu baseline can ace would prove plumbing, not
+capability (round-3 verdict item 1).
+
+Usage:  python scripts/selftest_e2e.py [--realistic] [--epochs-unet 60] ...
 """
 
 from __future__ import annotations
@@ -42,20 +50,29 @@ def make_dataset(n_videos: int, t: int, seed0: int, realistic: bool = False):
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs-unet", type=int, default=6)
+    # 60 epochs + patience 15: the adversarial --realistic domain needs real
+    # training — 6 epochs collapse the U-Net to all-background (~2 s/epoch
+    # with a warm compile cache, so the default stays cheap on-TPU)
+    p.add_argument("--epochs-unet", type=int, default=60)
+    p.add_argument("--patience-unet", type=int, default=15)
+    p.add_argument("--epochs-crop", type=int, default=40)
     p.add_argument("--epochs-yolo", type=int, default=20)
     p.add_argument("--realistic", action="store_true",
-                   help="Endoscopy-like synthetic data (vignette, specular "
-                        "highlights, fold texture) — harder domain.")
+                   help="Endoscopy-like synthetic data, ADVERSARIAL to "
+                        "thresholding (band shadows at glottal intensity, "
+                        "axial gradient, glottis-crossing speculars, "
+                        "illumination drift) — gates the reference's "
+                        "pipeline ordering.")
     p.add_argument("--output-dir", default="outputs/selftest")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
+    from openglottal_tpu.data.crop_dataset import materialize_gt_crops_arrays
     from openglottal_tpu.data.video import bgr_to_gray_u8
-    from openglottal_tpu.eval import aggregate, evaluate_patient
-    from openglottal_tpu.pipelines import GlottalPipelines
+    from openglottal_tpu.eval import aggregate, evaluate_patient, frame_metrics_batch
+    from openglottal_tpu.pipelines import GlottalPipelines, to_device
     from openglottal_tpu.train.unet_trainer import UNetTrainer
     from openglottal_tpu.train.yolo_trainer import YoloTrainer
 
@@ -68,12 +85,29 @@ def main() -> None:
     print(f"dataset: train {len(tr_f)} / val {len(va_f)} / test {len(te_f)} "
           f"frames ({time.time()-t0:.0f}s)", flush=True)
 
-    # ── train U-Net ────────────────────────────────────────────────────────
+    # ── train U-Net (full-frame) ──────────────────────────────────────────
     ut = UNetTrainer(batch_size=16, lr=1e-3)
-    ustate, _, uhist = ut.fit(gray_tr, tr_m.astype(np.uint8), gray_va,
-                              va_m.astype(np.uint8), epochs=args.epochs_unet,
-                              ckpt_dir=f"{args.output_dir}/unet", verbose=True)
-    uvars = {"params": ustate.params, "batch_stats": ustate.batch_stats}
+    ustate, ubest, uhist = ut.fit(gray_tr, tr_m.astype(np.uint8), gray_va,
+                                  va_m.astype(np.uint8),
+                                  epochs=args.epochs_unet,
+                                  patience=args.patience_unet,
+                                  ckpt_dir=f"{args.output_dir}/unet",
+                                  verbose=True)
+    uvars = ubest if ubest is not None else {
+        "params": ustate.params, "batch_stats": ustate.batch_stats}
+
+    # ── train crop-mode U-Net on GT-bbox crops (the reference's documented
+    # fix path for the crop pipeline, train_unet_crop.py:216-346) ──────────
+    ci_tr, cm_tr = materialize_gt_crops_arrays(gray_tr, tr_m.astype(np.uint8))
+    ci_va, cm_va = materialize_gt_crops_arrays(gray_va, va_m.astype(np.uint8))
+    ct = UNetTrainer(batch_size=16, lr=1e-3)
+    cstate, cbest, _ = ct.fit(ci_tr, cm_tr, ci_va, cm_va,
+                              epochs=args.epochs_crop,
+                              patience=args.patience_unet,
+                              ckpt_dir=f"{args.output_dir}/unet_crop",
+                              verbose=True)
+    cvars = cbest if cbest is not None else {
+        "params": cstate.params, "batch_stats": cstate.batch_stats}
 
     # ── train YOLO ─────────────────────────────────────────────────────────
     yt = YoloTrainer(batch_size=16, lr=2e-3)
@@ -82,14 +116,16 @@ def main() -> None:
     # epochs, measured).  The production default keeps ultralytics parity
     # (mosaic on; the paper's recipe is 2 epochs over the full real dataset);
     # tests/test_yolo_aug.py pins the mosaic path itself.
-    ystate, yhist = yt.fit(tr_f[..., ::-1], tr_b, va_f[..., ::-1], va_b,
-                           epochs=args.epochs_yolo, mosaic=False,
-                           ckpt_dir=f"{args.output_dir}/yolo", verbose=True)
-    yvars = {"params": ystate.params, "batch_stats": ystate.batch_stats}
+    ystate, ybest, yhist = yt.fit(tr_f[..., ::-1], tr_b, va_f[..., ::-1], va_b,
+                                  epochs=args.epochs_yolo, mosaic=False,
+                                  ckpt_dir=f"{args.output_dir}/yolo",
+                                  verbose=True)
+    yvars = ybest if ybest is not None else {
+        "params": ystate.params, "batch_stats": ystate.batch_stats}
     final_recall = yhist[-1].get("recall/val")
 
     # ── evaluate (GIRAFE protocol, synthetic test patients) ───────────────
-    pipe = GlottalPipelines(unet_variables=uvars, crop_unet_variables=uvars,
+    pipe = GlottalPipelines(unet_variables=uvars, crop_unet_variables=cvars,
                             yolo_variables=yvars, conf=0.25)
     per_patient = {}
     for k in range(2):
@@ -97,6 +133,24 @@ def main() -> None:
         per_patient[f"synth{k}"] = evaluate_patient(
             pipe, te_f[sl], te_m[sl], sequential=True)
     agg = aggregate(per_patient)
+
+    # crop-pipeline recovery: the same crop path with the FULL-FRAME weights
+    # as crop weights (the round-3 selftest's mistake, now the explicit
+    # zero-shot baseline the trained crop U-Net must beat)
+    pipe_zs = GlottalPipelines(unet_variables=uvars, crop_unet_variables=uvars,
+                               yolo_variables=yvars, conf=0.25)
+    zs_dices = []
+    for k in range(2):
+        sl = slice(k * 40, (k + 1) * 40)
+        fr = to_device(np.asarray(te_f[sl]))
+        gray = bgr_to_gray_u8(fr)
+        valid, boxes = pipe_zs.gated_boxes(fr, sequential=True)
+        cm, _, _ = pipe_zs.crop_unet_masks(fr, gray_u8=gray, valid=valid,
+                                           boxes=boxes)
+        d, _ = frame_metrics_batch(cm, to_device(np.asarray(te_m[sl])))
+        zs_dices.extend(np.asarray(d).tolist())
+    crop_zeroshot = float(np.mean(zs_dices))
+    crop_trained = agg.get("yolo-crop+unet", {}).get("dice", 0.0)
 
     # ── int8 serving-mode accuracy gate (models/quant.py): the quantized
     # U-Net's TRAINED-model Dice must match the bf16 model within 0.01,
@@ -118,20 +172,52 @@ def main() -> None:
                                for i in range(len(m8))]))
     dice_bf16 = float(np.mean([float(dice_fn(m16[i], gt[i]))
                                for i in range(len(m16))]))
+
+    # ── int8-FULL serving mode: whole quantized detector+segmenter pipeline
+    # must reproduce the bf16 glottal area waveform (rel-L1 < 5%) ──────────
+    pipe_q = GlottalPipelines(unet_variables=uvars, yolo_variables=yvars,
+                              conf=0.25, quant="int8-full")
+    pipe_q.calibrate(gray_tr[:64])
+    wave16 = np.asarray(pipe.yolo_unet_areas_gray(gray_te[:40]))
+    wave8 = np.asarray(pipe_q.yolo_unet_areas_gray(gray_te[:40]))
+    int8full_rel_l1 = float(np.sum(np.abs(wave8 - wave16))
+                            / max(np.sum(np.abs(wave16)), 1e-9))
+
     report = {p_: {k: v for k, v in row.items() if k not in ("dices", "ious")}
               for p_, row in agg.items()}
     report["yolo_final_recall"] = final_recall
+    report["crop_dice_trained"] = crop_trained
+    report["crop_dice_zeroshot"] = crop_zeroshot
     report["unet_only_dice_int8"] = dice_int8
     report["unet_only_dice_bf16_direct"] = dice_bf16
+    report["int8full_waveform_rel_l1"] = int8full_rel_l1
     print(json.dumps(report, indent=2))
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "report.json"), "w") as fh:
         json.dump(report, fh, indent=2)
 
-    ok = (agg["unet-only"]["dice"] > 0.85
-          and agg.get("yolo+unet", {}).get("dice", 0) > 0.8
-          and (final_recall or 0) > 0.9
-          and abs(dice_int8 - dice_bf16) < 0.01)
+    unet_dice = agg["unet-only"]["dice"]
+    otsu_dice = agg.get("yolo+otsu", {}).get("dice", 1.0)
+    motion_dice = agg.get("yolo+motion", {}).get("dice", 1.0)
+    gates = {
+        "unet_only>0.85": unet_dice > 0.85,
+        "yolo+unet>0.8": agg.get("yolo+unet", {}).get("dice", 0) > 0.8,
+        "recall>0.9": (final_recall or 0) > 0.9,
+        "int8_delta<0.01": abs(dice_int8 - dice_bf16) < 0.01,
+        "crop_recovery": crop_trained > crop_zeroshot + 0.1,
+        "int8full_rel_l1<0.05": int8full_rel_l1 < 0.05,
+    }
+    if args.realistic:
+        # the reference's real-data ordering (Otsu 0.22 «» U-Net 0.81,
+        # eval_girafe.py:54-58): thresholding and motion baselines must land
+        # WELL below the learned pipelines, or the domain has regressed
+        gates["otsu<0.5"] = otsu_dice < 0.5
+        gates["motion<0.6"] = motion_dice < 0.6
+        gates["ordering_margin>0.15"] = (
+            unet_dice - max(otsu_dice, motion_dice) > 0.15)
+    ok = all(gates.values())
+    for name, passed in gates.items():
+        print(f"  gate {name}: {'PASS' if passed else 'FAIL'}")
     print("SELFTEST", "PASS" if ok else "FAIL", f"({time.time()-t0:.0f}s total)")
     sys.exit(0 if ok else 1)
 
