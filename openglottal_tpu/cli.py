@@ -56,6 +56,14 @@ def main(argv: list[str] | None = None) -> None:
                             "'int8-full' also quantizes the YOLO detector "
                             "(measured perf-neutral on v5e; detection then "
                             "deviates from bf16 within tested tolerances).")
+    run_p.add_argument("--calib", default=None, metavar="VIDEO",
+                       help="Explicit int8 calibration video (first 64 "
+                            "frames); without it calibration is lazy on the "
+                            "input video itself.")
+    run_p.add_argument("--qparams", default=None, metavar="NPZ",
+                       help="Persisted int8 calibration: loaded if the file "
+                            "exists (serving numerics independent of input "
+                            "order), else written after calibration.")
     run_p.add_argument("--stream", type=int, default=0, metavar="CHUNK",
                        help="Process the video in CHUNK-frame segments with "
                             "bounded memory (all five pipelines; gate and "
@@ -138,6 +146,23 @@ def _cmd_run(parser: argparse.ArgumentParser, args) -> None:
         ygvft_params=cfg.ygvft_params(),
         quant=args.quant,
     )
+
+    if args.quant:
+        import os as _os
+
+        from openglottal_tpu.data.video import bgr_to_gray_u8
+
+        if args.qparams and _os.path.exists(args.qparams):
+            pipe.load_qparams(args.qparams)
+        elif args.calib:
+            pipe.calibrate(bgr_to_gray_u8(load_frames_bgr(args.calib)[:64]))
+        if args.qparams and not _os.path.exists(args.qparams):
+            if pipe._qparams is None:
+                pipe.calibrate(bgr_to_gray_u8(load_frames_bgr(args.video)[:64]))
+            pipe.save_qparams(args.qparams)
+            print(f"int8 calibration saved to {args.qparams}")
+    elif args.calib or args.qparams:
+        parser.error("--calib/--qparams need --quant int8 or int8-full")
 
     if args.stream:
         from openglottal_tpu.data.video import iter_frames_bgr

@@ -554,3 +554,57 @@ def qyolo_forward(qparams, x_raw):
 def qyolo_outputs(qparams, x_raw):
     """Jitted :func:`qyolo_forward`."""
     return qyolo_forward(qparams, x_raw)
+
+
+# ── qparams persistence ──────────────────────────────────────────────────────
+# Serving numerics must not depend on request arrival order: lazy first-video
+# calibration is convenient for ad-hoc runs, but production serving persists
+# the calibration with the checkpoint and restores it exactly (VERDICT r3
+# item 6).  One .npz, '/'-joined tree paths; bfloat16 leaves round-trip
+# through float32 with a '::bf16' key marker (np.savez stores raw bf16 as
+# opaque void bytes and loses the dtype); the float act_scales restore as
+# python floats so a restored qparams tree is indistinguishable from a
+# freshly calibrated one (pinned by tests/test_quant.py roundtrip).
+
+
+def save_qparams(qparams: dict, path) -> None:
+    """Persist a qparams tree ({'unet': ..., optional 'yolo': ...} or a bare
+    single-model tree) produced by :func:`quantize_unet` /
+    :func:`quantize_yolo` to one ``.npz``."""
+    from pathlib import Path
+
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            a = np.asarray(node)
+            if a.dtype == jnp.bfloat16:
+                flat[f"{prefix}::bf16"] = a.astype(np.float32)
+            else:
+                flat[prefix] = a
+
+    walk("", qparams)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def load_qparams(path) -> dict:
+    """Inverse of :func:`save_qparams`."""
+    tree: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            k, bf16 = (key[:-6], True) if key.endswith("::bf16") else (key, False)
+            node = tree
+            parts = k.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            v = z[key]
+            if bf16:
+                v = jnp.asarray(v, jnp.bfloat16)
+            elif "act_scales" in parts:
+                v = float(v)  # calibrated scales are python floats
+            node[parts[-1]] = v
+    return tree

@@ -405,6 +405,48 @@ def _sharded_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
     return _box_area_sums(masks, valid, boxes)
 
 
+@_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse"))
+def _sharded_yolo_unet_video_q(qparams, yolo_variables, gray_u8, t_real,
+                               conf: float, dtype, gate_params: GateParams,
+                               fuse: bool = False):
+    """Mesh form of :func:`_fused_yolo_unet_video_q`: int8 serving under a
+    frame-sharded mesh (VERDICT r3 item 6 — the fastest mode and the
+    scale-out mode are no longer mutually exclusive).  Same structure as
+    :func:`_sharded_yolo_unet_video` — one partitioned batched pass over the
+    whole frame axis (qparams replicated; per-device activations =
+    T_pad/n_dev frames), XLA gathers only the (T,) summaries for the gate
+    scan — with the U-Net int8 (models/quant.qunet_masks) and the detector
+    bf16 unless ``qparams`` carries a "yolo" entry ("int8-full")."""
+    t_pad, h, w = gray_u8.shape
+    from openglottal_tpu.models.quant import qunet_masks, qyolo_forward
+
+    masks = qunet_masks(qparams["unet"], gray_u8)
+    if "yolo" in qparams:
+        cin = qparams["yolo"]["stem_bf16"]["kernel"].shape[2]
+        x = gray_u8.astype(jnp.float32)[..., None]
+        if cin == 3:
+            x = jnp.broadcast_to(x, x.shape[:3] + (3,))
+        outs = qyolo_forward(qparams["yolo"], x)
+    else:
+        yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
+        outs = yolo.apply(_u8_yolo(yolo_variables),
+                          _gray_stem_input(yolo_variables, gray_u8),
+                          train=False)
+    has, raw, _ = max_conf_detect(outs, h, w, conf)
+    has = has & (jnp.arange(t_pad) < t_real)
+    valid, boxes = gate_scan(has, raw, h, w, params=gate_params)
+    return _box_area_sums(masks, valid, boxes)
+
+
+@_jit_hot(static_argnames=())
+def _qunet_sharded_chunk(qparams, gray_u8):
+    """Mesh form of the quantized U-Net pass (unet-only pipeline under a
+    mesh in the int8 serving mode): one frame-sharded batched pass."""
+    from openglottal_tpu.models.quant import qunet_masks
+
+    return qunet_masks(qparams, gray_u8)
+
+
 @_jit_hot(static_argnames=("conf", "dtype", "fuse"))
 def _stream_yolo_chunk(yolo_variables, gray_u8, conf: float, dtype,
                        fuse: bool = False):
@@ -830,10 +872,6 @@ class GlottalPipelines:
         if quant is not None and not self._fuse:
             raise ValueError("quant needs BN-folded variables "
                              "(provide batch_stats or pre-folded weights)")
-        if quant is not None and mesh is not None:
-            raise ValueError("quant='int8' is single-chip for now — the "
-                             "mesh paths run the bf16 graphs (drop mesh= or "
-                             "quant=)")
         self._quant = quant
         self._qparams = None
         if mesh is not None:
@@ -870,6 +908,36 @@ class GlottalPipelines:
             if cin == 3:
                 x = np.broadcast_to(x, x.shape[:3] + (3,))
             self._qparams["yolo"] = quantize_yolo(self.yolo_gray_variables, x)
+        self._commit_qparams()
+        return self
+
+    def _commit_qparams(self):
+        # replicate the quantized kernels over the mesh (same contract as
+        # the bf16 variables); act_scales stay host floats (jit constants)
+        if self._chunk_spec is not None and self._qparams is not None:
+            self._qparams = jax.tree.map(
+                lambda a: (jax.device_put(a, self._repl_spec)
+                           if hasattr(a, "shape") else a), self._qparams)
+
+    def save_qparams(self, path):
+        """Persist the int8 calibration (models/quant.save_qparams) so
+        serving numerics do not depend on which video arrived first."""
+        from openglottal_tpu.models.quant import save_qparams
+
+        if self._qparams is None:
+            raise ValueError("not calibrated yet — call calibrate() first")
+        save_qparams(jax.device_get(self._qparams), path)
+        return self
+
+    def load_qparams(self, path):
+        """Restore a persisted calibration (inverse of :meth:`save_qparams`);
+        skips lazy calibration entirely."""
+        from openglottal_tpu.models.quant import load_qparams
+
+        if self._quant is None:
+            raise ValueError("load_qparams needs quant='int8'/'int8-full'")
+        self._qparams = load_qparams(path)
+        self._commit_qparams()
         return self
 
     def _q(self, gray):
@@ -1043,9 +1111,13 @@ class GlottalPipelines:
             if self._chunk_spec is not None:
                 # mesh: one frame-sharded batched pass (lax.map chunking
                 # would serialize the shards)
-                masks = _unet_chunk(self.unet_variables,
-                                    self._seg_put(gray, t), dtype=self.dtype,
-                                    fuse=self._fuse)
+                if self._quant:
+                    masks = _qunet_sharded_chunk(self._q(gray)["unet"],
+                                                 self._seg_put(gray, t))
+                else:
+                    masks = _unet_chunk(self.unet_variables,
+                                        self._seg_put(gray, t),
+                                        dtype=self.dtype, fuse=self._fuse)
                 return masks[:t].sum((1, 2)).astype(jnp.float32)
             if self._quant:
                 return _fused_unet_only_video_q(
@@ -1074,6 +1146,12 @@ class GlottalPipelines:
         t, h, w = gray.shape
         if (h, w) == (256, 256):
             if self._chunk_spec is not None:
+                if self._quant:
+                    return _sharded_yolo_unet_video_q(
+                        self._q(gray), self.yolo_gray_variables,
+                        self._seg_put(gray, t), jnp.int32(t),
+                        conf=self.conf, dtype=self.dtype,
+                        gate_params=self.gate_params, fuse=self._fuse)[:t]
                 return _sharded_yolo_unet_video(
                     self.unet_variables, self.yolo_gray_variables,
                     self._seg_put(gray, t), jnp.int32(t),

@@ -237,14 +237,73 @@ def test_qyolo_detections_track_bf16():
     np.testing.assert_allclose(np.asarray(gbox), np.asarray(rbox), atol=5.0)
 
 
-def test_quant_rejects_mesh_and_bad_mode():
-    """int8 is single-chip for now; unknown modes fail loudly."""
-    from openglottal_tpu.parallel.mesh import make_mesh
+def test_quant_rejects_bad_mode():
+    """Unknown quant modes fail loudly."""
     from openglottal_tpu.pipelines import GlottalPipelines
 
     _, uv = init_unet(jax.random.PRNGKey(0), dtype=jnp.float32, size=64)
-    with pytest.raises(ValueError, match="single-chip"):
-        GlottalPipelines(unet_variables=uv, quant="int8",
-                         mesh=make_mesh(n_data=len(jax.devices()), n_model=1))
     with pytest.raises(ValueError, match="quant"):
         GlottalPipelines(unet_variables=uv, quant="fp8")
+
+
+def test_qparams_roundtrip(tmp_path):
+    """save_qparams/load_qparams must restore the calibration exactly —
+    int8 kernels, f32 scales/biases, bf16 tails, and the python-float
+    act_scales (VERDICT r3 item 6: serving numerics must not depend on
+    arrival order, so calibration persists with the checkpoint)."""
+    from openglottal_tpu.models.quant import load_qparams, save_qparams
+
+    qp = {"unet": quantize_unet(_scaled_variables(size=64),
+                                _calib_frames(size=64))}
+    save_qparams(qp, tmp_path / "qp.npz")
+    back = load_qparams(tmp_path / "qp.npz")
+
+    flat_a = jax.tree.leaves(qp)
+    flat_b = jax.tree.leaves(back)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.dtype == b.dtype, (a.dtype, b.dtype)
+        np.testing.assert_array_equal(a, b)
+    # act_scales restore as python floats (jit constants, like fresh calib)
+    assert all(isinstance(v, float)
+               for v in back["unet"]["act_scales"].values())
+
+    # restored calibration drives the quantized model identically
+    g = _calib_frames(size=64)
+    m1 = np.asarray(qunet_chunk_masks(qp["unet"], jnp.asarray(g)))
+    m2 = np.asarray(qunet_chunk_masks(back["unet"], jnp.asarray(g)))
+    np.testing.assert_array_equal(m1, m2)
+
+
+def test_int8_under_mesh_matches_single_device(tmp_path):
+    """int8 serving under a frame-sharded mesh (_sharded_yolo_unet_video_q /
+    _qunet_sharded_chunk) must equal the 1-device mesh run bit-for-bit with
+    the SAME persisted calibration — the round-3 fastest-mode-vs-scale-out
+    exclusivity is gone."""
+    from openglottal_tpu.data.synthetic import synthetic_video
+    from openglottal_tpu.models.yolo import init_yolo
+    from openglottal_tpu.parallel.mesh import make_mesh
+    from openglottal_tpu.pipelines import GlottalPipelines
+
+    video, _ = synthetic_video(t=8, size=256, seed=11)
+    gray = np.ascontiguousarray(video[..., 0])
+    _, uv = init_unet(jax.random.PRNGKey(2), dtype=jnp.float32, size=256)
+    _, yv = init_yolo(jax.random.PRNGKey(3), dtype=jnp.float32)
+
+    mk = lambda n: GlottalPipelines(
+        unet_variables=uv, yolo_variables=yv, conf=0.0, dtype=jnp.float32,
+        quant="int8", mesh=make_mesh(n_data=n, n_model=1,
+                                     devices=jax.devices()[:n]))
+    p1, p8 = mk(1), mk(8)
+    p1.calibrate(gray)
+    p1.save_qparams(tmp_path / "qp.npz")
+    p8.load_qparams(tmp_path / "qp.npz")
+
+    a1 = np.asarray(p1.yolo_unet_areas_gray(gray))
+    a8 = np.asarray(p8.yolo_unet_areas_gray(gray))
+    np.testing.assert_array_equal(a1, a8)
+
+    u1 = np.asarray(p1.unet_only_areas(gray))
+    u8 = np.asarray(p8.unet_only_areas(gray))
+    np.testing.assert_array_equal(u1, u8)
