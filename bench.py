@@ -5,7 +5,7 @@ M-series MPS (paper/main.tex:951-954; BASELINE.md).  North star:
 >=5,000 256² frames/sec/chip on TPU v5e-1 (BASELINE.json).
 
 Measurement rules (the round-2 bench violated all three and over-reported by
->3x — see VERDICT.md "What's weak" #1):
+>3x — see the round-3 VERDICT history):
   * every timed region ends by FETCHING results to host (np.asarray of the
     waveform) — the only completion fence the axon relay cannot elide;
   * every timed repetition runs on DISTINCT video content (fresh uint8
@@ -14,16 +14,32 @@ Measurement rules (the round-2 bench violated all three and over-reported by
     and mfu so the headline number can be physics-checked: fps x
     flops_per_frame must stay below the chip's peak.
 
+Harness rules (added round 5 after BENCH_r04 died rc=1 on ONE transient
+relay flake and erased the round's evidence — VERDICT r4 item 1):
+  * every stage runs under retry_transient (3 attempts, linear backoff) —
+    the relay's "response body closed" class of error is transient;
+  * results accumulate into the JSON dict incrementally; a stage that still
+    fails after retries contributes nulls + an entry in failed_stages, and
+    the bench EXITS 0 with whatever it measured;
+  * the headline ``value`` is the most production-shaped number that
+    survived: batched (dispatch-ahead cohort serving) > pipelined > serial.
+    Serial latency rides the shared relay's per-dispatch round-trip (1.4x
+    run-to-run spread with pool contention, BENCH_r03) — it stays visible
+    as ``serial_fps`` + ``serial_fps_spread`` but no longer sets the
+    headline.  ``headline`` names which protocol ``value`` came from.
+
 Workload: the paper's timing video (502 frames, 256², monochrome HSV;
 benchmark_video_speed.py:5) — serial per-video latency (device-resident
-input), pipelined end-to-end throughput (host videos, double-buffered
-transfers), and the two motion-tracker pipelines.
+input), dispatch-ahead batched cohorts (K in {4, 8}), pipelined end-to-end
+throughput (host videos, bandwidth-adaptive prefetch), and the two motion
+tracker pipelines.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
@@ -32,6 +48,8 @@ os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from openglottal_tpu.utils.retry import retry_transient
 
 # dense bf16 peak FLOP/s per chip, by jax device_kind (public spec sheets)
 PEAK_BF16 = {
@@ -46,8 +64,37 @@ PEAK_BF16 = {
 PEAK_INT8 = {k: (v * 2 if k != "TPU v4" else v) for k, v in PEAK_BF16.items()}
 
 T_FRAMES = 502  # paper timing workload (benchmark_video_speed.py:5)
-N_VIDEOS = 8    # steady-state batch workload (analyze_gaw processes 65)
+N_VIDEOS = 8    # steady-state per-video workload (analyze_gaw processes 65)
+N_COHORT = 16   # cohort workload: >=2 dispatch-ahead batches at K=8
 N_BASE = 4      # distinct synthetic base videos (generation is ~15 s each)
+K_SWEEP = (4, 8)
+
+
+class Collector:
+    """Accumulate benchmark keys; isolate stage failures.
+
+    Each stage runs under retry (transient relay errors are the observed
+    failure class); a stage that exhausts retries is recorded in
+    ``failed_stages`` and returns ``default`` so later stages still run and
+    the final JSON emits whatever was measured (VERDICT r4 item 1)."""
+
+    def __init__(self, attempts: int = 3):
+        self.out: dict = {}
+        self.failed: list = []
+        self.attempts = attempts
+
+    def stage(self, name: str, fn, default=None):
+        def note(i, e):
+            print(f"# stage {name}: attempt {i + 1} failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+
+        try:
+            return retry_transient(fn, attempts=self.attempts, backoff_s=3.0,
+                                   on_error=note)
+        except Exception as e:  # noqa: BLE001 — harness must emit regardless
+            self.failed.append({"stage": name,
+                                "error": f"{type(e).__name__}: {e}"[:300]})
+            return default
 
 
 def _perturb(video: np.ndarray, rng: np.random.Generator) -> np.ndarray:
@@ -61,16 +108,11 @@ def _perturb(video: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 def main() -> None:
     import argparse
 
+    from openglottal_tpu.data.prefetch import adaptive_depth, prefetch_to_device
     from openglottal_tpu.data.synthetic import synthetic_video
-    from openglottal_tpu.models.gate import GateParams
     from openglottal_tpu.models.unet import init_unet
     from openglottal_tpu.models.yolo import init_yolo
-    from openglottal_tpu.pipelines import (
-        GlottalPipelines,
-        _bucket,
-        _fused_yolo_unet_video,
-        _pad_to,
-    )
+    from openglottal_tpu.pipelines import GlottalPipelines
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default=None,
@@ -78,10 +120,16 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=5)
     args, _ = ap.parse_known_args()
 
+    col = Collector()
+    out = col.out
+
     dev = jax.devices()[0]
     device_kind = dev.device_kind
     peak = next((v for k, v in PEAK_BF16.items() if device_kind.startswith(k)),
                 None)
+    peak8 = next((v for k, v in PEAK_INT8.items()
+                  if device_kind.startswith(k)), None)
+    out["device_kind"] = device_kind
 
     # decoded monochrome HSV frames — high-speed endoscopy cameras are
     # grayscale, so decode yields (T, 256, 256) uint8 per video; realistic
@@ -106,38 +154,50 @@ def main() -> None:
 
         uvars = load_unet_weights(os.path.join(wdir, "demo_unet.npz"))
         yvars = load_yolo_weights(os.path.join(wdir, "demo_yolo.npz"))
-        weights_kind = "trained-demo"
+        out["weights"] = "trained-demo"
     else:
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         _, uvars = init_unet(k1, dtype=jnp.bfloat16)
         _, yvars = init_yolo(k2, dtype=jnp.bfloat16)
-        weights_kind = "random-init"
+        out["weights"] = "random-init"
     pipe = GlottalPipelines(unet_variables=uvars, yolo_variables=yvars,
                             dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(1234)
+
+    def vids_dev(n: int) -> list:
+        vs = [jax.device_put(_perturb(base[i % N_BASE], rng))
+              for i in range(n)]
+        jax.block_until_ready(vs)
+        return vs
 
     # ── FLOPs per frame (XLA cost analysis) ───────────────────────────────
     # Counted on the plain batched U-Net + YOLO chunk graphs (no loops):
     # cost_analysis counts a lax.map/while BODY once, not x trip-count, so
     # the fused whole-video graph under-reports by T_pad/CHUNK (4x for the
-    # 502-frame workload — the round-2 trap, VERDICT.md).
-    from openglottal_tpu.pipelines import CHUNK, _unet_chunk, _yolo_chunk_gray
+    # 502-frame workload — the round-2 trap).
+    def stage_flops():
+        from openglottal_tpu.pipelines import (CHUNK, _unet_chunk,
+                                               _yolo_chunk_gray)
 
-    g_chunk = jax.ShapeDtypeStruct((CHUNK, 256, 256), jnp.uint8)
-    try:
+        g_chunk = jax.ShapeDtypeStruct((CHUNK, 256, 256), jnp.uint8)
         f_unet = float(_unet_chunk.lower(
             pipe.unet_variables, g_chunk, dtype=jnp.bfloat16,
             fuse=pipe._fuse).compile().cost_analysis()["flops"])
         f_yolo = float(_yolo_chunk_gray.lower(
             pipe.yolo_gray_variables, g_chunk, conf=0.25, dtype=jnp.bfloat16,
             fuse=pipe._fuse).compile().cost_analysis()["flops"])
-        flops_per_frame = (f_unet + f_yolo) / CHUNK
-    except Exception:
-        flops_per_frame = None
+        return (f_unet + f_yolo) / CHUNK
 
-    from openglottal_tpu.data.prefetch import prefetch_to_device
+    flops_per_frame = col.stage("flops", stage_flops)
+    out["flops_per_frame"] = (round(flops_per_frame)
+                              if flops_per_frame else None)
 
-    rng = np.random.default_rng(1234)
+    def mfu_of(fps, p=peak):
+        return (round(fps * flops_per_frame / p, 4)
+                if fps and flops_per_frame and p else None)
 
+    # ── warmup / compile on content never reused in a timed rep ───────────
     def run_serial(videos_dev) -> float:
         """Device-resident input, strictly serial, fetch-forced per video.
         Returns seconds for all videos."""
@@ -146,232 +206,251 @@ def main() -> None:
             np.asarray(pipe.yolo_unet_areas_gray(g))  # d2h fetch = fence
         return time.perf_counter() - t0
 
-    def run_e2e(videos_host) -> float:
-        """Host input, double-buffered transfers, outputs fetched inside the
-        timed region (dispatch all, then fetch all — overlap preserved)."""
+    def run_e2e(videos_host, depth: int) -> float:
+        """Host input, prefetch-to-device at the given depth, outputs fetched
+        inside the timed region (dispatch all, then fetch all)."""
         t0 = time.perf_counter()
         outs = [pipe.yolo_unet_areas_gray(g)
-                for g in prefetch_to_device(videos_host, size=2)]
+                for g in prefetch_to_device(videos_host, size=depth)]
         for o in outs:
             np.asarray(o)
         return time.perf_counter() - t0
 
-    # warmup / compile on content never reused in a timed rep
     warm = [_perturb(base[i % N_BASE], rng) for i in range(2)]
-    run_e2e(warm)
-    run_serial([jax.device_put(w) for w in warm])
+    col.stage("warmup", lambda: (
+        run_e2e(warm, 2), run_serial([jax.device_put(w) for w in warm])))
 
     if args.profile:
-        with jax.profiler.trace(args.profile):
-            run_e2e([_perturb(base[i % N_BASE], rng) for i in range(N_VIDEOS)])
-        print(f"# trace written to {args.profile}", flush=True)
+        def stage_profile():
+            with jax.profiler.trace(args.profile):
+                run_e2e([_perturb(base[i % N_BASE], rng)
+                         for i in range(N_VIDEOS)], 2)
+            print(f"# trace written to {args.profile}", flush=True)
+        col.stage("profile", stage_profile)
 
-    # serial compute-path latency (the MFU-bearing number); 5 passes because
-    # per-dispatch relay latency swings with shared-pool contention and the
-    # driver samples this once — median of 5 rides out a bad window
-    serial_times = []
-    for _ in range(5):
-        vids = [jax.device_put(_perturb(base[i % N_BASE], rng))
-                for i in range(4)]
-        jax.block_until_ready(vids)
-        serial_times.append(run_serial(vids) / len(vids))
-    dt_serial = sorted(serial_times)[len(serial_times) // 2]
-    serial_fps = T_FRAMES / dt_serial
-    serial_spread = [round(T_FRAMES / max(serial_times), 1),
-                     round(T_FRAMES / min(serial_times), 1)]
-    mfu = (serial_fps * flops_per_frame / peak
-           if flops_per_frame and peak else None)
+    # ── serial compute-path latency; median of 5 because per-dispatch relay
+    # latency swings with shared-pool contention ───────────────────────────
+    def stage_serial():
+        times = []
+        for _ in range(5):
+            vs = vids_dev(4)
+            times.append(run_serial(vs) / len(vs))
+        dt = sorted(times)[len(times) // 2]
+        return (T_FRAMES / dt, [round(T_FRAMES / max(times), 1),
+                                round(T_FRAMES / min(times), 1)])
 
-    # pipelined chip throughput: dispatch all K device-resident videos, then
-    # fetch every waveform INSIDE the timed region (still fetch-forced,
-    # distinct content) — amortises the per-dispatch relay round-trip
-    # (~40 ms/video, jax.profiler trace) that the serial protocol charges to
-    # every video; this is the per-chip number a local-host deployment sees
-    # (profiled device time for the fused module: 107.75 ms/video = 4.7k fps)
-    def run_pipelined() -> float:
-        vids = [jax.device_put(_perturb(base[i % N_BASE], rng))
-                for i in range(N_VIDEOS)]
-        jax.block_until_ready(vids)
-        t0 = time.perf_counter()
-        outs = [pipe.yolo_unet_areas_gray(g) for g in vids]
-        for o in outs:
-            np.asarray(o)
-        return (time.perf_counter() - t0) / len(vids)
+    serial = col.stage("serial", stage_serial)
+    serial_fps = serial[0] if serial else None
+    out["serial_fps"] = round(serial_fps, 1) if serial_fps else None
+    out["serial_fps_spread"] = serial[1] if serial else None
+    out["mfu_serial"] = mfu_of(serial_fps)
 
-    dt_pipe = sorted(run_pipelined() for _ in range(3))[1]
-    pipelined_fps = T_FRAMES / dt_pipe
-    mfu_pipelined = (pipelined_fps * flops_per_frame / peak
-                     if flops_per_frame and peak else None)
+    # ── pipelined: dispatch all K device-resident videos, then fetch every
+    # waveform INSIDE the timed region — amortises the per-dispatch relay
+    # round-trip (~40 ms/video) the serial protocol charges to every video ─
+    def stage_pipelined():
+        def once():
+            vs = vids_dev(N_VIDEOS)
+            t0 = time.perf_counter()
+            outs = [pipe.yolo_unet_areas_gray(g) for g in vs]
+            for o in outs:
+                np.asarray(o)
+            return (time.perf_counter() - t0) / len(vs)
+        return sorted(once() for _ in range(3))[1]
 
-    # batched multi-video dispatch (the cohort-serving form, e.g. the 65-
-    # patient GAW study): ONE fused graph per batch of 4 videos — the relay
-    # round-trip is paid per batch, not per video; outputs come back as host
-    # arrays inside the call (fetch-forced by construction)
-    K_BATCH = 4
-    pipe.yolo_unet_areas_gray_multi(
-        [jax.device_put(w) for w in warm[:2]] * (K_BATCH // 2))  # compile
+    dt_pipe = col.stage("pipelined", stage_pipelined)
+    pipelined_fps = T_FRAMES / dt_pipe if dt_pipe else None
+    out["pipelined_fps"] = round(pipelined_fps, 1) if pipelined_fps else None
+    out["mfu_pipelined"] = mfu_of(pipelined_fps)
 
-    def run_batched() -> float:
-        vids = [jax.device_put(_perturb(base[i % N_BASE], rng))
-                for i in range(N_VIDEOS)]
-        jax.block_until_ready(vids)
-        t0 = time.perf_counter()
-        for j in range(0, N_VIDEOS, K_BATCH):
-            pipe.yolo_unet_areas_gray_multi(vids[j:j + K_BATCH])
-        return (time.perf_counter() - t0) / N_VIDEOS
+    # ── batched cohort serving, dispatch-ahead: all sub-batches of K videos
+    # dispatch (fetch=False -> device arrays) before the first waveform is
+    # fetched, so batch j+1 computes while batch j's results stream back.
+    # Swept over K (VERDICT r4 item 2); one graph compile per K ────────────
+    def make_stage_batched(pp, k):
+        def stage():
+            pp.yolo_unet_areas_gray_multi(
+                [jax.device_put(w) for w in warm] * (k // 2),
+                fetch=False)  # compile
+            def once():
+                vs = vids_dev(N_COHORT)
+                t0 = time.perf_counter()
+                outs = []
+                for j in range(0, N_COHORT, k):
+                    outs.extend(pp.yolo_unet_areas_gray_multi(
+                        vs[j:j + k], fetch=False))
+                for o in outs:
+                    np.asarray(o)
+                return (time.perf_counter() - t0) / N_COHORT
+            return sorted(once() for _ in range(3))[1]
+        return stage
 
-    batched_fps = T_FRAMES / sorted(run_batched() for _ in range(3))[1]
-    mfu_batched = (batched_fps * flops_per_frame / peak
-                   if flops_per_frame and peak else None)
+    by_k = {}
+    for k in K_SWEEP:
+        dt_k = col.stage(f"batched_k{k}", make_stage_batched(pipe, k))
+        if dt_k:
+            by_k[str(k)] = round(T_FRAMES / dt_k, 1)
+    out["batched_fps_by_k"] = by_k or None
+    if by_k:
+        best_k = max(by_k, key=by_k.get)
+        out["batched_k"] = int(best_k)
+        out["batched_fps"] = by_k[best_k]
+        out["batched_ge_pipelined"] = (
+            by_k[best_k] >= out["pipelined_fps"]
+            if out.get("pipelined_fps") else None)
+    else:
+        out["batched_k"] = out["batched_fps"] = None
+        out["batched_ge_pipelined"] = None
+    out["mfu_batched"] = mfu_of(out.get("batched_fps"))
 
     # ── int8 serving mode (models/quant.py): same fused path, U-Net
     # post-training-quantized (YOLO stays bf16).  Same fetch-forced
-    # protocol; physics-checked against the chip's INT8 peak (2x bf16) —
+    # protocols; physics-checked against the chip's INT8 peak (2x bf16) —
     # the MAC count per frame is unchanged ────────────────────────────────
-    pipe_q = GlottalPipelines(unet_variables=uvars, yolo_variables=yvars,
+    def stage_int8_setup():
+        pq = GlottalPipelines(unet_variables=uvars, yolo_variables=yvars,
                               dtype=jnp.bfloat16, quant="int8")
-    pipe_q.calibrate(warm[0])
-    np.asarray(pipe_q.yolo_unet_areas_gray(jax.device_put(warm[1])))  # compile
-    q_serial = []
-    for _ in range(3):
-        vids = [jax.device_put(_perturb(base[i % N_BASE], rng))
-                for i in range(4)]
-        jax.block_until_ready(vids)
+        pq.calibrate(warm[0])
+        np.asarray(pq.yolo_unet_areas_gray(jax.device_put(warm[1])))
+        return pq
+
+    pipe_q = col.stage("int8_setup", stage_int8_setup)
+    if pipe_q is not None:
+        def stage_int8_serial():
+            times = []
+            for _ in range(3):
+                vs = vids_dev(4)
+                t0 = time.perf_counter()
+                for g in vs:
+                    np.asarray(pipe_q.yolo_unet_areas_gray(g))
+                times.append((time.perf_counter() - t0) / len(vs))
+            return sorted(times)[1]
+
+        def stage_int8_pipelined():
+            def once():
+                vs = vids_dev(N_VIDEOS)
+                t0 = time.perf_counter()
+                outs = [pipe_q.yolo_unet_areas_gray(g) for g in vs]
+                for o in outs:
+                    np.asarray(o)
+                return (time.perf_counter() - t0) / len(vs)
+            return sorted(once() for _ in range(3))[1]
+
+        dt = col.stage("int8_serial", stage_int8_serial)
+        out["int8_serial_fps"] = round(T_FRAMES / dt, 1) if dt else None
+        dt = col.stage("int8_pipelined", stage_int8_pipelined)
+        out["int8_pipelined_fps"] = round(T_FRAMES / dt, 1) if dt else None
+        out["mfu_int8"] = mfu_of(out.get("int8_pipelined_fps"), peak8)
+        k8 = out.get("batched_k") or 4
+        dt = col.stage("int8_batched", make_stage_batched(pipe_q, k8))
+        out["int8_batched_fps"] = round(T_FRAMES / dt, 1) if dt else None
+    else:
+        out["int8_serial_fps"] = out["int8_pipelined_fps"] = None
+        out["int8_batched_fps"] = out["mfu_int8"] = None
+
+    # ── h2d bandwidth this run happened to get (observed 0.03-2 GB/s) ─────
+    def stage_bandwidth():
+        vs = [_perturb(base[i % N_BASE], rng) for i in range(4)]
         t0 = time.perf_counter()
-        for g in vids:
-            np.asarray(pipe_q.yolo_unet_areas_gray(g))
-        q_serial.append((time.perf_counter() - t0) / len(vids))
-    int8_serial_fps = T_FRAMES / sorted(q_serial)[1]
+        jax.block_until_ready([jax.device_put(v) for v in vs])
+        return sum(v.nbytes for v in vs) / (time.perf_counter() - t0)
 
-    def run_pipelined_q() -> float:
-        vids = [jax.device_put(_perturb(base[i % N_BASE], rng))
-                for i in range(N_VIDEOS)]
-        jax.block_until_ready(vids)
-        t0 = time.perf_counter()
-        outs = [pipe_q.yolo_unet_areas_gray(g) for g in vids]
-        for o in outs:
-            np.asarray(o)
-        return (time.perf_counter() - t0) / len(vids)
+    bw = col.stage("bandwidth", stage_bandwidth)
+    out["h2d_bandwidth_MBps"] = round(bw / 1e6, 1) if bw else None
 
-    int8_pipelined_fps = T_FRAMES / sorted(run_pipelined_q()
-                                           for _ in range(3))[1]
-    peak8 = next((v for k, v in PEAK_INT8.items()
-                  if device_kind.startswith(k)), None)
-    mfu_int8 = (int8_pipelined_fps * flops_per_frame / peak8
-                if flops_per_frame and peak8 else None)
+    # ── end-to-end throughput (host->device transfers included), prefetch
+    # depth adapted to the measured bandwidth (data/prefetch.adaptive_depth);
+    # e2e_bound_fps is the physics cap: min(transfer-bound, compute-bound) ─
+    bytes_per_video = base[0].nbytes
+    depth = adaptive_depth(bytes_per_video, bw or 1e9,
+                           dt_pipe or (1.0 / 30.0))
+    out["e2e_depth"] = depth
+    if bw:
+        bound = bw / (bytes_per_video / T_FRAMES)
+        if pipelined_fps:
+            bound = min(bound, pipelined_fps)
+        out["e2e_bound_fps"] = round(bound, 1)
+    else:
+        out["e2e_bound_fps"] = None
 
-    # int8 + batched cohort dispatch (the fastest serving shape): ONE
-    # quantized fused graph per batch of K videos
-    pipe_q.yolo_unet_areas_gray_multi(
-        [jax.device_put(w) for w in warm[:2]] * (K_BATCH // 2))  # compile
+    def stage_e2e():
+        times = []
+        for _ in range(args.reps):
+            vs = [_perturb(base[i % N_BASE], rng) for i in range(N_VIDEOS)]
+            times.append(run_e2e(vs, depth))
+        return times
 
-    def run_batched_q() -> float:
-        vids = [jax.device_put(_perturb(base[i % N_BASE], rng))
-                for i in range(N_VIDEOS)]
-        jax.block_until_ready(vids)
-        t0 = time.perf_counter()
-        for j in range(0, N_VIDEOS, K_BATCH):
-            pipe_q.yolo_unet_areas_gray_multi(vids[j:j + K_BATCH])
-        return (time.perf_counter() - t0) / N_VIDEOS
+    e2e_times = col.stage("e2e", stage_e2e)
+    if e2e_times:
+        dt = sorted(e2e_times)[len(e2e_times) // 2]
+        out["e2e_fps"] = round(T_FRAMES * N_VIDEOS / dt, 1)
+        out["e2e_floor_fps"] = round(T_FRAMES * N_VIDEOS / max(e2e_times), 1)
+    else:
+        out["e2e_fps"] = out["e2e_floor_fps"] = None
 
-    int8_batched_fps = T_FRAMES / sorted(run_batched_q() for _ in range(3))[1]
-
-    # end-to-end pipelined throughput (host->device transfers included);
-    # host->device bandwidth through the shared TPU tunnel fluctuates 10-20x
-    # with pool contention -> median + worst-of-reps floor
-    e2e_times = []
-    for _ in range(args.reps):
-        vids = [_perturb(base[i % N_BASE], rng) for i in range(N_VIDEOS)]
-        e2e_times.append(run_e2e(vids))
-    dt = sorted(e2e_times)[len(e2e_times) // 2]
-    fps = T_FRAMES * N_VIDEOS / dt
-    fps_floor = T_FRAMES * N_VIDEOS / max(e2e_times)
-
-    # trackers: chip-attributable = device-resident gray input, full
+    # ── trackers: chip-attributable = device-resident gray input, full
     # per-video compute (detect + gate + tracker; areas come back as host
     # arrays — inherently fetch-forced); realistic synthetic content
     # (fixpoint convergence is content-dependent), distinct per rep.
     # These ARE the production APIs: guided-vft runs the fused one-dispatch
     # graph (_fused_ygvft_video), vft the two-dispatch form its host-side
-    # crop-size lock requires.
-    vft_run = pipe.vft_areas_gray
-    ygvft_run = pipe.guided_vft_areas_gray
+    # crop-size lock requires ─────────────────────────────────────────────
+    def make_stage_tracker(fn):
+        def stage():
+            fn(jax.device_put(base[0]))  # warm/compile inside the retry
+            times = []
+            for _ in range(2):
+                vs = [jax.device_put(_perturb(b, rng)) for b in base[:2]]
+                jax.block_until_ready(vs)
+                t0 = time.perf_counter()
+                for gd in vs:
+                    fn(gd)
+                times.append((time.perf_counter() - t0) / len(vs))
+            return min(times)
+        return stage
 
-    def run_tracker(fn) -> float:
-        times = []
-        for r in range(2):
-            vids_dev = [jax.device_put(_perturb(b, rng)) for b in base[:2]]
-            jax.block_until_ready(vids_dev)
-            t0 = time.perf_counter()
-            for gd in vids_dev:
-                fn(gd)
-            times.append((time.perf_counter() - t0) / len(vids_dev))
-        return T_FRAMES / min(times)
-
-    warm_dev = jax.device_put(base[0])
-    vft_run(warm_dev)
-    ygvft_run(warm_dev)
-    vft_fps = run_tracker(vft_run)
-    ygvft_fps = run_tracker(ygvft_run)
+    dt = col.stage("vft", make_stage_tracker(pipe.vft_areas_gray))
+    out["vft_fps"] = round(T_FRAMES / dt, 1) if dt else None
+    dt = col.stage("guided_vft", make_stage_tracker(pipe.guided_vft_areas_gray))
+    out["guided_vft_fps"] = round(T_FRAMES / dt, 1) if dt else None
 
     # guided-vft cohort serving: ONE fused graph per batch of K videos
     # (_fused_ygvft_multi — shared detection chunks, vmapped gate scans,
-    # flattened tracker tail); the relay round-trip is paid per batch.
-    # Outputs come back as host arrays inside the call (fetch-forced).
-    pipe.guided_vft_areas_gray_multi(
-        [jax.device_put(w) for w in warm[:2]] * (K_BATCH // 2))  # compile
+    # flattened tracker tail); the relay round-trip is paid per batch
+    def stage_ygvft_batched():
+        kb = 4
+        pipe.guided_vft_areas_gray_multi(
+            [jax.device_put(w) for w in warm] * (kb // 2))  # compile
+        def once():
+            vs = vids_dev(kb)
+            t0 = time.perf_counter()
+            pipe.guided_vft_areas_gray_multi(vs)
+            return (time.perf_counter() - t0) / kb
+        return min(once() for _ in range(2))
 
-    def run_ygvft_batched() -> float:
-        vids = [jax.device_put(_perturb(base[i % N_BASE], rng))
-                for i in range(K_BATCH)]
-        jax.block_until_ready(vids)
-        t0 = time.perf_counter()
-        pipe.guided_vft_areas_gray_multi(vids)
-        return (time.perf_counter() - t0) / K_BATCH
+    dt = col.stage("guided_vft_batched", stage_ygvft_batched)
+    out["guided_vft_batched_fps"] = round(T_FRAMES / dt, 1) if dt else None
 
-    ygvft_batched_fps = T_FRAMES / min(run_ygvft_batched() for _ in range(2))
-
-    # tunnel bandwidth this run happened to get (observed 0.07-2 GB/s)
-    vids = [_perturb(base[i % N_BASE], rng) for i in range(4)]
-    t0 = time.perf_counter()
-    jax.block_until_ready([jax.device_put(v) for v in vids])
-    mbps = sum(v.nbytes for v in vids) / (time.perf_counter() - t0) / 1e6
-
+    # ── headline: most production-shaped surviving number ─────────────────
     baseline_fps = 35.0  # reference full pipeline, M-series MPS
-    # headline = the chip-attributable serial fetch-forced number; the
-    # end-to-end figure includes host->device transfers whose bandwidth is
-    # set by the shared relay tunnel (observed 0.03-2 GB/s), not the chip
-    print(json.dumps({
+    for key in ("batched_fps", "pipelined_fps", "serial_fps"):
+        if out.get(key):
+            value, headline = out[key], key
+            break
+    else:
+        value, headline = None, None
+
+    result = {
         "metric": "yolo_unet_frames_per_sec_per_chip",
-        "value": round(serial_fps, 1),
+        "value": value,
         "unit": "frames/s",
-        "vs_baseline": round(serial_fps / baseline_fps, 2),
-        # serial latency rides the shared relay's per-dispatch round-trip,
-        # which swings with pool contention — the spread makes that visible
-        # (the pipelined figures amortise it and are stable run-to-run)
-        "serial_fps_spread": serial_spread,
-        "pipelined_fps": round(pipelined_fps, 1),
-        "mfu_pipelined": (round(mfu_pipelined, 4)
-                          if mfu_pipelined is not None else None),
-        "batched_fps": round(batched_fps, 1),
-        "mfu_batched": (round(mfu_batched, 4)
-                        if mfu_batched is not None else None),
-        "int8_serial_fps": round(int8_serial_fps, 1),
-        "int8_pipelined_fps": round(int8_pipelined_fps, 1),
-        "int8_batched_fps": round(int8_batched_fps, 1),
-        "mfu_int8": round(mfu_int8, 4) if mfu_int8 is not None else None,
-        "e2e_fps": round(fps, 1),
-        "e2e_floor_fps": round(fps_floor, 1),
-        "vft_fps": round(vft_fps, 1),
-        "guided_vft_fps": round(ygvft_fps, 1),
-        "guided_vft_batched_fps": round(ygvft_batched_fps, 1),
-        "flops_per_frame": (round(flops_per_frame)
-                            if flops_per_frame else None),
-        "device_kind": device_kind,
-        "mfu": round(mfu, 4) if mfu is not None else None,
-        "h2d_bandwidth_MBps": round(mbps, 1),
-        "weights": weights_kind,
-    }))
+        "vs_baseline": round(value / baseline_fps, 2) if value else None,
+        "headline": headline,
+    }
+    result.update(out)
+    if col.failed:
+        result["failed_stages"] = col.failed
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -18,12 +18,33 @@ per frame, synchronously, utils.py:218-241).
 
 from __future__ import annotations
 
+import math
 import queue
 import threading
 from typing import Callable, Iterable, Iterator
 
 import jax
 import numpy as np
+
+
+def adaptive_depth(bytes_per_item: float, bandwidth_bps: float,
+                   compute_s: float, min_depth: int = 2,
+                   max_depth: int = 6) -> int:
+    """Prefetch depth matched to the measured tunnel bandwidth.
+
+    Fixed double-buffering (depth 2) only hides ONE transfer behind one
+    compute; when a transfer takes N x the compute time (the shared relay's
+    h2d bandwidth swings 0.03-2 GB/s), the pipe needs ceil(transfer /
+    compute) + 1 items in flight to keep the chip fed at the transfer-bound
+    rate.  Clamped to [min_depth, max_depth]: each queued item pins a full
+    device buffer, so depth is HBM, and past the bandwidth-bound steady
+    state extra depth only adds memory.  (The physics cap itself —
+    ``bandwidth / bytes_per_frame`` — is what bench.py emits as
+    ``e2e_bound_fps``; no depth can beat it.)
+    """
+    transfer_s = bytes_per_item / max(bandwidth_bps, 1.0)
+    depth = math.ceil(transfer_s / max(compute_s, 1e-9)) + 1
+    return max(min_depth, min(max_depth, depth))
 
 
 def prefetch_to_device(items: Iterable, size: int = 2,

@@ -31,6 +31,25 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
+from openglottal_tpu.utils.retry import retry_transient
+
+
+def _stage(name: str, fn):
+    """Run a selftest stage with retry-on-transient-relay-error (3 attempts,
+    utils/retry.py): the round-4 driver bench died rc=1 on ONE transient
+    "response body closed" remote_compile flake; a 21-minute --realistic
+    selftest must not be killable the same way at minute 20 (VERDICT r4
+    item 8).  Every stage here is deterministic (fixed seeds; reruns of the
+    whole selftest reproduce the checked-in artifact byte-for-byte), so a
+    retry recomputes the identical result — and the compile cache makes the
+    retry cheaper than the first attempt."""
+    def note(i, e):
+        print(f"# selftest stage {name}: attempt {i + 1} failed "
+              f"({type(e).__name__}: {e}); retrying", file=sys.stderr,
+              flush=True)
+
+    return retry_transient(fn, attempts=3, backoff_s=5.0, on_error=note)
+
 
 def make_dataset(n_videos: int, t: int, seed0: int, realistic: bool = False):
     from openglottal_tpu.data.synthetic import synthetic_video, synthetic_gt_boxes
@@ -87,12 +106,10 @@ def main() -> None:
 
     # ── train U-Net (full-frame) ──────────────────────────────────────────
     ut = UNetTrainer(batch_size=16, lr=1e-3)
-    ustate, ubest, uhist = ut.fit(gray_tr, tr_m.astype(np.uint8), gray_va,
-                                  va_m.astype(np.uint8),
-                                  epochs=args.epochs_unet,
-                                  patience=args.patience_unet,
-                                  ckpt_dir=f"{args.output_dir}/unet",
-                                  verbose=True)
+    ustate, ubest, uhist = _stage("train_unet", lambda: ut.fit(
+        gray_tr, tr_m.astype(np.uint8), gray_va, va_m.astype(np.uint8),
+        epochs=args.epochs_unet, patience=args.patience_unet,
+        ckpt_dir=f"{args.output_dir}/unet", verbose=True))
     uvars = ubest if ubest is not None else {
         "params": ustate.params, "batch_stats": ustate.batch_stats}
 
@@ -101,11 +118,10 @@ def main() -> None:
     ci_tr, cm_tr = materialize_gt_crops_arrays(gray_tr, tr_m.astype(np.uint8))
     ci_va, cm_va = materialize_gt_crops_arrays(gray_va, va_m.astype(np.uint8))
     ct = UNetTrainer(batch_size=16, lr=1e-3)
-    cstate, cbest, _ = ct.fit(ci_tr, cm_tr, ci_va, cm_va,
-                              epochs=args.epochs_crop,
-                              patience=args.patience_unet,
-                              ckpt_dir=f"{args.output_dir}/unet_crop",
-                              verbose=True)
+    cstate, cbest, _ = _stage("train_unet_crop", lambda: ct.fit(
+        ci_tr, cm_tr, ci_va, cm_va, epochs=args.epochs_crop,
+        patience=args.patience_unet,
+        ckpt_dir=f"{args.output_dir}/unet_crop", verbose=True))
     cvars = cbest if cbest is not None else {
         "params": cstate.params, "batch_stats": cstate.batch_stats}
 
@@ -116,10 +132,10 @@ def main() -> None:
     # epochs, measured).  The production default keeps ultralytics parity
     # (mosaic on; the paper's recipe is 2 epochs over the full real dataset);
     # tests/test_yolo_aug.py pins the mosaic path itself.
-    ystate, ybest, yhist = yt.fit(tr_f[..., ::-1], tr_b, va_f[..., ::-1], va_b,
-                                  epochs=args.epochs_yolo, mosaic=False,
-                                  ckpt_dir=f"{args.output_dir}/yolo",
-                                  verbose=True)
+    ystate, ybest, yhist = _stage("train_yolo", lambda: yt.fit(
+        tr_f[..., ::-1], tr_b, va_f[..., ::-1], va_b,
+        epochs=args.epochs_yolo, mosaic=False,
+        ckpt_dir=f"{args.output_dir}/yolo", verbose=True))
     yvars = ybest if ybest is not None else {
         "params": ystate.params, "batch_stats": ystate.batch_stats}
     final_recall = yhist[-1].get("recall/val")
@@ -130,8 +146,10 @@ def main() -> None:
     per_patient = {}
     for k in range(2):
         sl = slice(k * 40, (k + 1) * 40)
-        per_patient[f"synth{k}"] = evaluate_patient(
-            pipe, te_f[sl], te_m[sl], sequential=True)
+        per_patient[f"synth{k}"] = _stage(
+            f"eval_patient_{k}",
+            lambda sl=sl: evaluate_patient(pipe, te_f[sl], te_m[sl],
+                                           sequential=True))
     agg = aggregate(per_patient)
 
     # crop-pipeline recovery: the same crop path with the FULL-FRAME weights
@@ -139,17 +157,20 @@ def main() -> None:
     # zero-shot baseline the trained crop U-Net must beat)
     pipe_zs = GlottalPipelines(unet_variables=uvars, crop_unet_variables=uvars,
                                yolo_variables=yvars, conf=0.25)
-    zs_dices = []
-    for k in range(2):
-        sl = slice(k * 40, (k + 1) * 40)
-        fr = to_device(np.asarray(te_f[sl]))
-        gray = bgr_to_gray_u8(fr)
-        valid, boxes = pipe_zs.gated_boxes(fr, sequential=True)
-        cm, _, _ = pipe_zs.crop_unet_masks(fr, gray_u8=gray, valid=valid,
-                                           boxes=boxes)
-        d, _ = frame_metrics_batch(cm, to_device(np.asarray(te_m[sl])))
-        zs_dices.extend(np.asarray(d).tolist())
-    crop_zeroshot = float(np.mean(zs_dices))
+    def crop_zeroshot_pass():
+        dices = []
+        for k in range(2):
+            sl = slice(k * 40, (k + 1) * 40)
+            fr = to_device(np.asarray(te_f[sl]))
+            gray = bgr_to_gray_u8(fr)
+            valid, boxes = pipe_zs.gated_boxes(fr, sequential=True)
+            cm, _, _ = pipe_zs.crop_unet_masks(fr, gray_u8=gray, valid=valid,
+                                               boxes=boxes)
+            d, _ = frame_metrics_batch(cm, to_device(np.asarray(te_m[sl])))
+            dices.extend(np.asarray(d).tolist())
+        return float(np.mean(dices))
+
+    crop_zeroshot = _stage("crop_zeroshot", crop_zeroshot_pass)
     crop_trained = agg.get("yolo-crop+unet", {}).get("dice", 0.0)
 
     # ── int8 serving-mode accuracy gate (models/quant.py): the quantized
@@ -162,11 +183,13 @@ def main() -> None:
 
     gray_te = np.asarray(bgr_to_gray_u8(te_f))
     folded = fold_unet(uvars)
-    qp = quantize_unet(folded, gray_tr[:64])
-    m8 = np.asarray(qunet_chunk_masks(qp, jnp.asarray(gray_te)))
+    qp = _stage("quantize_unet", lambda: quantize_unet(folded, gray_tr[:64]))
+    m8 = _stage("int8_masks", lambda: np.asarray(
+        qunet_chunk_masks(qp, jnp.asarray(gray_te))))
     x16 = (jnp.asarray(gray_te).astype(jnp.float32) / 255.0)[..., None]
-    m16 = np.asarray(UNet(dtype=jnp.bfloat16, fuse_bn=True).apply(
-        folded, x16, train=False)[..., 0] > 0)
+    m16 = _stage("bf16_masks", lambda: np.asarray(
+        UNet(dtype=jnp.bfloat16, fuse_bn=True).apply(
+            folded, x16, train=False)[..., 0] > 0))
     gt = te_m.astype(bool)
     dice_int8 = float(np.mean([float(dice_fn(m8[i], gt[i]))
                                for i in range(len(m8))]))
@@ -177,9 +200,11 @@ def main() -> None:
     # must reproduce the bf16 glottal area waveform (rel-L1 < 5%) ──────────
     pipe_q = GlottalPipelines(unet_variables=uvars, yolo_variables=yvars,
                               conf=0.25, quant="int8-full")
-    pipe_q.calibrate(gray_tr[:64])
-    wave16 = np.asarray(pipe.yolo_unet_areas_gray(gray_te[:40]))
-    wave8 = np.asarray(pipe_q.yolo_unet_areas_gray(gray_te[:40]))
+    _stage("calibrate_int8full", lambda: pipe_q.calibrate(gray_tr[:64]))
+    wave16 = _stage("wave_bf16", lambda: np.asarray(
+        pipe.yolo_unet_areas_gray(gray_te[:40])))
+    wave8 = _stage("wave_int8full", lambda: np.asarray(
+        pipe_q.yolo_unet_areas_gray(gray_te[:40])))
     int8full_rel_l1 = float(np.sum(np.abs(wave8 - wave16))
                             / max(np.sum(np.abs(wave16)), 1e-9))
 
