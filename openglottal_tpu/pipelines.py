@@ -65,13 +65,22 @@ def _u8_yolo(variables):
 VFT_INIT = 2    # reference features.py:31
 YGVFT_INIT = 2  # reference features.py:32
 CHUNK = 128     # frame-chunk size for batched model passes
-# (chunk-size sweep on v5e, scripts/perf_probe3.py: 128 beats 256/512 both
-# serial and pipelined — bigger chunks lose more to HBM pressure than they
-# gain in loop-trip amortisation)
+# (chunk-size sweep on v5e, scripts/perf_probe.py chunk: 128 beats 256/512
+# both serial and pipelined — bigger chunks lose more to HBM pressure than
+# they gain in loop-trip amortisation)
+MAX_COHORT_K = 8
+# largest multi-video cohort compiled as one fused graph: the *_multi
+# methods split bigger cohorts into sub-batches of at most this size.  A
+# K-video batch holds K padded uint8 videos (K x T_pad x 256² = 32 MB each)
+# plus the chunk loop's activations in HBM; past ~8 videos the shared-HBM
+# paging cliff documented in CLAUDE.md ("blob-selection tables") is one
+# allocation away, and the round-trip amortisation has long saturated
+# (measured: batch 4 already recovers the ~40 ms/video dispatch overhead,
+# results/PROFILE_r03.md).
 
 # TPU conv-emitter tuning: raising the scoped-VMEM budget lets XLA's conv
 # emitters pick larger tiles (whole-video U-Net pass 130.1 -> 126.1 ms on
-# v5e, scripts/perf_probe4; default budget is 16 MiB).  TPU-only option, so
+# v5e, a retired round-3 probe; default budget is 16 MiB).  TPU-only option, so
 # it is resolved per backend at call time.
 _TPU_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": 65536}
 
@@ -193,6 +202,57 @@ def _yolo_chunk_gray(variables, gray_u8, conf: float = 0.25,
     return max_conf_detect(outs, h, w, conf)
 
 
+def _yolo_unet_chunk_fn(unet_variables, yolo_variables, h, w, conf: float,
+                        dtype, fuse: bool):
+    """The per-chunk YOLO+UNet body shared by every fused/batched/streaming
+    form of pipeline 3: (CHUNK, h, w) uint8 -> (masks, has, box).  One
+    definition means the per-video, cohort, and streaming graphs are
+    bit-identical by construction (the equality tests in
+    tests/test_pipelines.py pin it empirically on top)."""
+    unet = UNet(dtype=dtype, fuse_bn=fuse)
+    yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
+    uv, yv = _u8_unet(unet_variables), _u8_yolo(yolo_variables)
+
+    def per_chunk(g):
+        x = g.astype(jnp.float32)[..., None]
+        masks = unet.apply(uv, x, train=False)[..., 0] > 0  # sigmoid>0.5
+        outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
+                          train=False)
+        has, box, _ = max_conf_detect(outs, h, w, conf)
+        return masks, has, box
+
+    return per_chunk
+
+
+def _yolo_unet_chunk_fn_q(qparams, yolo_variables, h, w, conf: float, dtype,
+                          fuse: bool):
+    """int8 counterpart of :func:`_yolo_unet_chunk_fn` (U-Net always
+    quantized; detector bf16 unless ``qparams`` carries a "yolo" entry —
+    the "int8-full" mode)."""
+    from openglottal_tpu.models.quant import qunet_masks, qyolo_forward
+
+    if "yolo" not in qparams:
+        yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
+        yv = _u8_yolo(yolo_variables)
+    else:
+        cin = qparams["yolo"]["stem_bf16"]["kernel"].shape[2]
+
+    def per_chunk(g):
+        masks = qunet_masks(qparams["unet"], g)
+        if "yolo" in qparams:
+            x = g.astype(jnp.float32)[..., None]
+            if cin == 3:
+                x = jnp.broadcast_to(x, x.shape[:3] + (3,))
+            outs = qyolo_forward(qparams["yolo"], x)
+        else:
+            outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
+                              train=False)
+        has, box, _ = max_conf_detect(outs, h, w, conf)
+        return masks, has, box
+
+    return per_chunk
+
+
 @_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse"))
 def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
                            conf: float, dtype, gate_params: GateParams,
@@ -209,19 +269,8 @@ def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
     h, w = gray_u8.shape[1:]
     chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
 
-    unet = UNet(dtype=dtype, fuse_bn=fuse)
-    yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
-
-    uv, yv = _u8_unet(unet_variables), _u8_yolo(yolo_variables)
-
-    def per_chunk(g):
-        x = g.astype(jnp.float32)[..., None]
-        masks = unet.apply(uv, x, train=False)[..., 0] > 0  # sigmoid>0.5
-        outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
-                          train=False)
-        has, box, cf = max_conf_detect(outs, h, w, conf)
-        return masks, has, box
-
+    per_chunk = _yolo_unet_chunk_fn(unet_variables, yolo_variables, h, w,
+                                    conf, dtype, fuse)
     masks, has, raw = jax.lax.map(per_chunk, chunks)
     masks = masks.reshape(t_pad, h, w)
     has = has.reshape(t_pad) & (jnp.arange(t_pad) < t_real)
@@ -248,18 +297,8 @@ def _fused_yolo_unet_multi(unet_variables, yolo_variables, gray_u8, t_real,
     k, t_pad, h, w = gray_u8.shape
     chunks = gray_u8.reshape(k * t_pad // CHUNK, CHUNK, h, w)
 
-    unet = UNet(dtype=dtype, fuse_bn=fuse)
-    yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
-    uv, yv = _u8_unet(unet_variables), _u8_yolo(yolo_variables)
-
-    def per_chunk(g):
-        x = g.astype(jnp.float32)[..., None]
-        masks = unet.apply(uv, x, train=False)[..., 0] > 0  # sigmoid>0.5
-        outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
-                          train=False)
-        has, box, _ = max_conf_detect(outs, h, w, conf)
-        return masks, has, box
-
+    per_chunk = _yolo_unet_chunk_fn(unet_variables, yolo_variables, h, w,
+                                    conf, dtype, fuse)
     masks, has, raw = jax.lax.map(per_chunk, chunks)
     masks = masks.reshape(k, t_pad, h, w)
     has = has.reshape(k, t_pad) & (jnp.arange(t_pad)[None] < t_real[:, None])
@@ -281,27 +320,8 @@ def _fused_yolo_unet_multi_q(qparams, yolo_variables, gray_u8, t_real,
     k, t_pad, h, w = gray_u8.shape
     chunks = gray_u8.reshape(k * t_pad // CHUNK, CHUNK, h, w)
 
-    from openglottal_tpu.models.quant import qunet_masks, qyolo_forward
-
-    if "yolo" not in qparams:
-        yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
-        yv = _u8_yolo(yolo_variables)
-    else:
-        cin = qparams["yolo"]["stem_bf16"]["kernel"].shape[2]
-
-    def per_chunk(g):
-        masks = qunet_masks(qparams["unet"], g)
-        if "yolo" in qparams:
-            x = g.astype(jnp.float32)[..., None]
-            if cin == 3:
-                x = jnp.broadcast_to(x, x.shape[:3] + (3,))
-            outs = qyolo_forward(qparams["yolo"], x)
-        else:
-            outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
-                              train=False)
-        has, box, _ = max_conf_detect(outs, h, w, conf)
-        return masks, has, box
-
+    per_chunk = _yolo_unet_chunk_fn_q(qparams, yolo_variables, h, w, conf,
+                                      dtype, fuse)
     masks, has, raw = jax.lax.map(per_chunk, chunks)
     masks = masks.reshape(k, t_pad, h, w)
     has = has.reshape(k, t_pad) & (jnp.arange(t_pad)[None] < t_real[:, None])
@@ -332,27 +352,8 @@ def _fused_yolo_unet_video_q(qparams, yolo_variables, gray_u8, t_real,
     h, w = gray_u8.shape[1:]
     chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
 
-    from openglottal_tpu.models.quant import qunet_masks, qyolo_forward
-
-    if "yolo" not in qparams:
-        yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
-        yv = _u8_yolo(yolo_variables)
-    else:
-        cin = qparams["yolo"]["stem_bf16"]["kernel"].shape[2]
-
-    def per_chunk(g):
-        masks = qunet_masks(qparams["unet"], g)
-        if "yolo" in qparams:
-            x = g.astype(jnp.float32)[..., None]
-            if cin == 3:
-                x = jnp.broadcast_to(x, x.shape[:3] + (3,))
-            outs = qyolo_forward(qparams["yolo"], x)
-        else:
-            outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
-                              train=False)
-        has, box, _ = max_conf_detect(outs, h, w, conf)
-        return masks, has, box
-
+    per_chunk = _yolo_unet_chunk_fn_q(qparams, yolo_variables, h, w, conf,
+                                      dtype, fuse)
     masks, has, raw = jax.lax.map(per_chunk, chunks)
     masks = masks.reshape(t_pad, h, w)
     has = has.reshape(t_pad) & (jnp.arange(t_pad) < t_real)
@@ -521,19 +522,9 @@ def _stream_yolo_unet_chunk(unet_variables, yolo_variables, gray_u8,
     t_pad = gray_u8.shape[0]
     h, w = gray_u8.shape[1:]
     chunks = gray_u8.reshape(t_pad // CHUNK, CHUNK, h, w)
-    unet = UNet(dtype=dtype, fuse_bn=fuse)
-    yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
 
-    uv, yv = _u8_unet(unet_variables), _u8_yolo(yolo_variables)
-
-    def per_chunk(g):
-        x = g.astype(jnp.float32)[..., None]
-        masks = unet.apply(uv, x, train=False)[..., 0] > 0  # sigmoid>0.5
-        outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
-                          train=False)
-        has, box, _ = max_conf_detect(outs, h, w, conf)
-        return masks, has, box
-
+    per_chunk = _yolo_unet_chunk_fn(unet_variables, yolo_variables, h, w,
+                                    conf, dtype, fuse)
     masks, has, raw = jax.lax.map(per_chunk, chunks)
     return (masks.reshape(t_pad, h, w), has.reshape(t_pad),
             raw.reshape(t_pad, 4))
@@ -612,7 +603,7 @@ def _fused_ygvft_video(yolo_variables, gray_u8, t_real, conf: float, dtype,
     relay round-trip between the stages for two host pulls that both trace:
     ``valid[:YGVFT_INIT].any()`` and the argmax picking the first seed box.
     Fusing them removes ~40 ms/video of dispatch+fetch latency on the axon
-    relay (scripts/perf_probe8.py attribution) and lets XLA overlap the YOLO
+    relay (scripts/perf_probe.py tracker attribution) and lets XLA overlap the YOLO
     pass with the tracker's prefix stages.
 
     gray_u8: (T_pad, 256, 256) uint8, T_pad a multiple of CHUNK and
@@ -862,7 +853,7 @@ class GlottalPipelines:
         self.parallel_trackers = parallel_trackers
         # opt-in int8 serving mode (models/quant.py): the U-Net in the two
         # hot monochrome whole-video paths runs post-training-quantized
-        # (1.5-3.5x faster per conv on TPU v5e, scripts/perf_probe7.py).
+        # (1.5-3.5x faster per conv on TPU v5e, scripts/perf_probe.py int8).
         # Calibration is lazy — the first processed video's frames — or
         # explicit via :meth:`calibrate`.  The default (quant=None) and all
         # eval paths stay bf16, reference-faithful.
@@ -1172,25 +1163,10 @@ class GlottalPipelines:
         valid, boxes = self._gated(None, gray)
         return _box_area_sums(masks, valid, boxes)
 
-    def yolo_unet_areas_gray_multi(self, grays):
-        """YOLO+UNet waveforms for a BATCH of monochrome 256² videos in ONE
-        fused dispatch (``_fused_yolo_unet_multi``) — the cohort-serving
-        form: the per-dispatch relay round-trip is paid once per batch, not
-        per video.  ``grays`` is a sequence of (T_i, 256, 256) uint8 arrays
-        (host or device); returns a list of (T_i,) np.float32 waveforms,
-        each bit-identical to ``yolo_unet_areas_gray`` on that video (same
-        per-chunk graph, causal per-video gate scans, per-video t_real
-        masking).  Videos pad to a common bucketed length; the graph
-        compiles once per (K, T_pad) shape.  In the int8 serving mode the
-        batch runs through the quantized cohort graph
-        (``_fused_yolo_unet_multi_q``).  Falls back to per-video calls under
-        a mesh (that path has its own frame-sharded form) or for non-256²
-        frames (per-video letterboxes through 256, so the batch must too)."""
-        if not grays:
-            return []
-        if (self._chunk_spec is not None
-                or any(tuple(g.shape[1:3]) != (256, 256) for g in grays)):
-            return [self.yolo_unet_areas_gray(g) for g in grays]
+    def _yolo_unet_multi_dispatch(self, grays):
+        """Dispatch ONE fused cohort graph for <= MAX_COHORT_K videos;
+        returns (areas_dev (K, T_pad) device array, ts) WITHOUT fetching —
+        the caller decides when to synchronise."""
         ts = [int(g.shape[0]) for g in grays]
         t_pad = _bucket(max(ts))
         devs = [to_device(g) for g in grays]
@@ -1207,8 +1183,45 @@ class GlottalPipelines:
                 self.unet_variables, self.yolo_gray_variables, stacked,
                 jnp.asarray(ts, jnp.int32), conf=self.conf, dtype=self.dtype,
                 gate_params=self.gate_params, fuse=self._fuse)
-        areas = np.asarray(areas)
-        return [areas[i, :t] for i, t in enumerate(ts)]
+        return areas, ts
+
+    def yolo_unet_areas_gray_multi(self, grays, fetch: bool = True):
+        """YOLO+UNet waveforms for a BATCH of monochrome 256² videos in ONE
+        fused dispatch per sub-batch (``_fused_yolo_unet_multi``) — the
+        cohort-serving form: the per-dispatch relay round-trip is paid once
+        per batch, not per video.  ``grays`` is a sequence of (T_i, 256,
+        256) uint8 arrays (host or device); returns a list of (T_i,)
+        waveforms, each bit-identical to ``yolo_unet_areas_gray`` on that
+        video (same per-chunk graph — ``_yolo_unet_chunk_fn`` — causal
+        per-video gate scans, per-video t_real masking).  Videos pad to a
+        common bucketed length; the graph compiles once per (K, T_pad)
+        shape.  Cohorts larger than :data:`MAX_COHORT_K` split into
+        sub-batches, ALL dispatched before the first fetch, so sub-batch
+        j+1 streams into the chip while j computes (dispatch-ahead).
+
+        ``fetch=False`` returns per-video DEVICE arrays instead of
+        np.float32 hosts: a serving loop can dispatch the next cohort while
+        this one computes and fetch (np.asarray) the tiny (T_i,) waveforms
+        when it needs them — the protocol bench.py's ``batched_fps_by_k``
+        sweep measures.  In the int8 serving mode the batch runs through
+        the quantized cohort graph (``_fused_yolo_unet_multi_q``).  Falls
+        back to per-video calls under a mesh (that path has its own
+        frame-sharded form) or for non-256² frames (per-video letterboxes
+        through 256, so the batch must too)."""
+        if not grays:
+            return []
+        if (self._chunk_spec is not None
+                or any(tuple(g.shape[1:3]) != (256, 256) for g in grays)):
+            outs = [self.yolo_unet_areas_gray(g) for g in grays]
+            return [np.asarray(o) for o in outs] if fetch else outs
+        pending = [self._yolo_unet_multi_dispatch(grays[j:j + MAX_COHORT_K])
+                   for j in range(0, len(grays), MAX_COHORT_K)]
+        out = []
+        for areas, ts in pending:
+            if fetch:
+                areas = np.asarray(areas)  # one d2h round-trip per sub-batch
+            out.extend(areas[i, :t] for i, t in enumerate(ts))
+        return out
 
     # ── pipeline 4: crop U-Net ────────────────────────────────────────────
 
@@ -1380,16 +1393,23 @@ class GlottalPipelines:
         ts = [int(g.shape[0]) for g in grays]
         run = [i for i, t in enumerate(ts) if t >= YGVFT_INIT + 2]
         out = [None] * len(grays)
-        if run:
-            t_pad = _bucket(max(ts[i] for i in run))
+        # cohorts above MAX_COHORT_K split into sub-batches (HBM-cliff
+        # guard — the tracker tail's fixpoint temporaries scale with K);
+        # all sub-batches dispatch before the first fetch (dispatch-ahead)
+        pending = []
+        for j in range(0, len(run), MAX_COHORT_K):
+            sub = run[j:j + MAX_COHORT_K]
+            t_pad = _bucket(max(ts[i] for i in sub))
             stacked = jnp.stack(
-                [_pad_to(to_device(grays[i]), t_pad) for i in run])
-            areas_v = np.asarray(_fused_ygvft_multi(
+                [_pad_to(to_device(grays[i]), t_pad) for i in sub])
+            pending.append((sub, _fused_ygvft_multi(
                 self.yolo_gray_variables, stacked,
-                jnp.asarray([ts[i] for i in run], jnp.int32), conf=self.conf,
+                jnp.asarray([ts[i] for i in sub], jnp.int32), conf=self.conf,
                 dtype=self.dtype, gate_params=self.gate_params,
-                ygvft_params=self.ygvft_params, fuse=self._fuse))
-            for row, i in enumerate(run):
+                ygvft_params=self.ygvft_params, fuse=self._fuse)))
+        for sub, areas_dev in pending:
+            areas_v = np.asarray(areas_dev)
+            for row, i in enumerate(sub):
                 t = ts[i]
                 areas = np.zeros(t, np.float32)
                 areas[YGVFT_INIT:] = areas_v[row, :t - YGVFT_INIT]
@@ -1424,16 +1444,18 @@ class GlottalPipelines:
         ts = [int(g.shape[0]) for g in grays]
         run = [i for i, t in enumerate(ts) if t >= VFT_INIT + 5]
         out = [None] * len(grays)
-        if run:
-            devs = [to_device(grays[i]) for i in run]
-            t_pad = _bucket(max(ts[i] for i in run))
+        # MAX_COHORT_K sub-batching as in guided_vft_areas_gray_multi
+        for j in range(0, len(run), MAX_COHORT_K):
+            sub = run[j:j + MAX_COHORT_K]
+            devs = [to_device(grays[i]) for i in sub]
+            t_pad = _bucket(max(ts[i] for i in sub))
             stacked = jnp.stack([_pad_to(d, t_pad) for d in devs])
             valid, boxes = _fused_gated_multi(
                 self.yolo_gray_variables, stacked,
-                jnp.asarray([ts[i] for i in run], jnp.int32), conf=self.conf,
+                jnp.asarray([ts[i] for i in sub], jnp.int32), conf=self.conf,
                 dtype=self.dtype, gate_params=self.gate_params,
                 fuse=self._fuse)
-            for row, i in enumerate(run):
+            for row, i in enumerate(sub):
                 t = ts[i]
                 out[i] = self._vft_compute(devs[row], valid[row, :t],
                                            boxes[row, :t], t)[0]

@@ -150,6 +150,43 @@ def test_multi_video_fused_matches_per_video(pipe, video):
     assert pipe.yolo_unet_areas_gray_multi([]) == []
 
 
+def test_multi_video_subbatch_and_fetch_false(pipe, video, monkeypatch):
+    """The dispatch-ahead serving protocol (VERDICT r4 item 2): cohorts
+    above MAX_COHORT_K split into sub-batches, all dispatched before the
+    first fetch; ``fetch=False`` returns per-video DEVICE arrays whose
+    values are bit-identical to the fetched form."""
+    import openglottal_tpu.pipelines as P
+
+    g1 = np.asarray(bgr_to_gray_u8(video))
+    g2 = np.asarray(bgr_to_gray_u8(synthetic_video(t=7, size=256, seed=9)[0]))
+    g3 = np.asarray(bgr_to_gray_u8(synthetic_video(t=9, size=256, seed=11)[0]))
+    want = [np.asarray(pipe.yolo_unet_areas_gray(g)) for g in (g1, g2, g3)]
+
+    monkeypatch.setattr(P, "MAX_COHORT_K", 2)  # force [g1,g2] + [g3] split
+    got = pipe.yolo_unet_areas_gray_multi([g1, g2, g3])
+    for w, g in zip(want, got):
+        assert isinstance(g, np.ndarray)
+        np.testing.assert_array_equal(w, g)
+
+    lazy = pipe.yolo_unet_areas_gray_multi([g1, g2, g3], fetch=False)
+    for w, g in zip(want, lazy):
+        assert isinstance(g, jax.Array)  # still on device
+        np.testing.assert_array_equal(w, np.asarray(g))
+
+
+def test_vft_multi_subbatch(pipe, video, monkeypatch):
+    """vft_areas_gray_multi's MAX_COHORT_K sub-batching (detect+gate cohort
+    graph per sub-batch) stays bit-identical to per-video."""
+    import openglottal_tpu.pipelines as P
+
+    g1 = np.asarray(bgr_to_gray_u8(video))
+    g2 = np.asarray(bgr_to_gray_u8(synthetic_video(t=9, size=256, seed=9)[0]))
+    monkeypatch.setattr(P, "MAX_COHORT_K", 1)
+    multi = pipe.vft_areas_gray_multi([g1, g2])
+    for g, m in zip((g1, g2), multi):
+        np.testing.assert_array_equal(np.asarray(pipe.vft_areas_gray(g)), m)
+
+
 def test_guided_vft_multi_matches_per_video(pipe, video):
     """guided_vft_areas_gray_multi (one fused dispatch for a whole cohort:
     shared detection chunks, vmapped gate scans + tracker init/threshold
