@@ -5,7 +5,7 @@ fused YOLO+UNet video graph is split between MXU-bound mid layers and
 HBM-bandwidth-floor 256² layers.  int8 attacks both at once on TPU v5e: the
 MXU runs s8xs8->s32 at 2x the bf16 rate (394 vs 197 TOPS peak) and int8
 activations halve the bytes of every bandwidth-bound layer.  Measured on the
-dominant 256² 32->32 shape: 1.85x over bf16 (scripts/perf_probe7.py, chained
+dominant 256² 32->32 shape: 1.85x over bf16 (scripts/perf_probe.py int8, chained
 fori so XLA can neither elide nor hoist iterations).
 
 Scheme (standard symmetric PTQ):

@@ -30,9 +30,10 @@ class _SplitConv3x3(nn.Module):
     name, shape, and init to ``nn.Conv`` applied to the concat, so variables
     are interchangeable; only the lowering changes.  Isolated, the split wins
     on TPU v5e (7.9 -> 5.6 ms per 128-frame chunk on the 256² 64->32 decoder
-    conv, scripts/perf_probe.py); at full-model level XLA already schedules
+    conv, scripts/perf_probe.py stages); at full-model level XLA already schedules
     the concat well and the split measured ~5 ms/video slower
-    (perf_probe2.py), so it is NOT the default.  Numerics differ from the
+    (scripts/perf_probe.py followup), so it is NOT the default.
+    Numerics differ from the
     concat form only at the single reassociation boundary between the two
     partial sums (~1 ulp; pinned by tests/test_unet.py)."""
 
@@ -115,7 +116,7 @@ class DepthToSpaceUp(nn.Module):
     bit-identical in name, shape, and init to ``nn.ConvTranspose``, so
     trained/folded variables drop in either way; only the lowering changes
     (one (cin, 4*cout) matmul + depth-to-space).  Measured SLOWER than XLA's
-    ConvTranspose lowering at full-model level on TPU v5e (perf_probe.py —
+    ConvTranspose lowering at full-model level on TPU v5e (perf_probe.py stages —
     the d2s transpose costs an extra full-tensor HBM round-trip), so it is
     NOT the default; kept because the interchangeable-parameters property is
     useful and pinned (tests/test_unet.py).
@@ -151,16 +152,17 @@ class UNet(nn.Module):
     # matmul+depth-to-space upsampling (same params/math as nn.ConvTranspose,
     # see DepthToSpaceUp).  Default OFF: measured SLOWER on TPU v5e — the
     # whole-video U-Net pass is 130 ms with XLA's ConvTranspose lowering vs
-    # 153 ms with d2s (scripts/perf_probe.py) because the depth-to-space
+    # 153 ms with d2s (scripts/perf_probe.py stages) because the depth-to-space
     # transpose materialises an extra full-tensor HBM round-trip that the
     # fused transposed-conv epilogue avoids.  Kept as an option because the
     # parameter trees are interchangeable (tests/test_unet.py).
     d2s_up: bool = False
     # decoder skip connections consumed WITHOUT materialising the concat
     # (_SplitConv3x3 — same parameters).  Default OFF: the isolated-layer
-    # microbench wins (7.9 -> 5.6 ms, perf_probe.py) but at FULL-model level
+    # microbench wins (7.9 -> 5.6 ms, perf_probe.py stages) but at FULL-model level
     # XLA already schedules the concat well and the split form measured
-    # ~5 ms/512-frame-video slower (130.0 -> 136.0 ms, perf_probe2.py).
+    # ~5 ms/512-frame-video slower (130.0 -> 136.0 ms,
+    # scripts/perf_probe.py followup).
     # Kept as an interchangeable-parameters option (tests/test_unet.py).
     split_skip: bool = False
 

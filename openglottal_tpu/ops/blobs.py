@@ -428,7 +428,7 @@ def top_n_blobs_batch(masks, n: int, iters: int = 4096):
     # rank by fg pixel count (ties -> smaller label), keep n, paint the union
     om = jnp.where(masks, owner, big).reshape(t, hw)
     # unstable sort: same values (scalar keys), ~1.6x faster on TPU than the
-    # default stable sort (49 vs 77 ms for (512, 65536) i32 — perf_probe6)
+    # default stable sort (49 vs 77 ms for (512, 65536) i32 — a retired round-3 probe)
     s = jax.lax.sort(om, dimension=1, is_stable=False)
     pos = jnp.arange(hw, dtype=jnp.int32)[None, :]
     bnd = jnp.concatenate(
@@ -506,7 +506,7 @@ def top_n_blobs_batch_roi(masks, boxes, n: int, win: int = 128,
 
     The 4x pixel reduction (win=128 on 256² frames) cuts the fixpoint +
     ranking-sort cost that dominates the tracker (~266 of 268 ms/512 frames,
-    scripts/perf_probe8.py) by ~4x and shortens propagation distances.
+    scripts/perf_probe.py tracker) by ~4x and shortens propagation distances.
 
     Falls back to the full-frame pass (lax.cond — one branch executes) when
     any box exceeds win-2 on a side, so the contract never constrains box
