@@ -210,6 +210,195 @@ def init_unet(rng, features=(32, 64, 128, 256), dtype=jnp.float32, size: int = 2
     return model, variables
 
 
+# ── split forward: everything through the 128²-level decoder block, then a
+# full-frame OR box-windowed 256²-level tail ─────────────────────────────────
+#
+# Pipeline 3 (yolo+unet, reference features.py:237-245) only CONSUMES mask
+# pixels inside the per-frame gate box, yet ~24 ms of the 107.75 ms/video
+# device time (results/PROFILE_r03.md) is the full-frame 256²-level decoder
+# (ConvTranspose_3 + DoubleConv_8 + head) running at the HBM bandwidth floor.
+# Splitting the forward lets the fused pipeline run that tail on a (win, win)
+# window anchored to each frame's gate box — the same windowing structure the
+# guided-VFT tracker tail uses (ops/blobs.top_n_blobs_batch_roi) — computing
+# logits EXACTLY (halo'd valid convs reproduce the full-frame 'same' conv at
+# every window pixel) so the in-box area sum is unchanged.
+
+
+def _subvars(variables: dict, name: str) -> dict:
+    """Variables for the standalone submodule ``name`` of a UNet tree."""
+    out = {"params": variables["params"][name]}
+    bs = variables.get("batch_stats")
+    if bs and name in bs:
+        out["batch_stats"] = bs[name]
+    return out
+
+
+def unet_features(variables) -> tuple:
+    """Encoder widths recovered from the parameter tree."""
+    p = variables["params"]
+    feats = []
+    for i in range(len(p)):
+        name = f"DoubleConv_{i}"
+        if name not in p:
+            break
+        feats.append(p[name]["Conv_0"]["kernel"].shape[-1])
+    n_enc = (len(feats) - 1) // 2  # encoder blocks (bottleneck + decoder follow)
+    return tuple(feats[:n_enc])
+
+
+def unet_apply_to_mid(variables, x, dtype=jnp.float32, fuse_bn: bool = False):
+    """UNet.__call__ up to (and including) the second-to-last decoder block.
+
+    Returns ``(y_mid, skip1)``: ``y_mid`` is the DoubleConv_7 output at half
+    resolution (N, H/2, W/2, 2f0) and ``skip1`` the first encoder block's
+    output (N, H, W, f0).  Composing with :func:`unet_tail_full` is
+    bit-identical to ``UNet.apply`` — the same Flax submodules run in the
+    same order with the same dtype flow (pinned by tests/test_unet_window.py).
+    """
+    feats = unet_features(variables)
+    x = x.astype(dtype)
+    skips = []
+    for i, f in enumerate(feats):
+        x = DoubleConv(f, dtype, fuse_bn).apply(
+            _subvars(variables, f"DoubleConv_{i}"), x, False)
+        skips.append(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+    n = len(feats)
+    x = DoubleConv(feats[-1] * 2, dtype, fuse_bn).apply(
+        _subvars(variables, f"DoubleConv_{n}"), x, False)
+    for i, f in enumerate(reversed(feats[1:])):  # stop before the last level
+        x = nn.ConvTranspose(
+            f, (2, 2), strides=(2, 2), dtype=dtype, param_dtype=jnp.float32,
+        ).apply(_subvars(variables, f"ConvTranspose_{i}"), x)
+        s = skips.pop()
+        x = jnp.concatenate([s, x.astype(s.dtype)], axis=-1)
+        x = DoubleConv(f, dtype, fuse_bn).apply(
+            _subvars(variables, f"DoubleConv_{n + 1 + i}"), x, False)
+    return x, skips[0]
+
+
+def unet_tail_full(variables, y_mid, skip1, dtype=jnp.float32,
+                   fuse_bn: bool = False):
+    """The remaining full-frame 256²-level tail: ConvTranspose_3 upsample,
+    skip-first concat, DoubleConv_8, 1x1 head.  (unet_apply_to_mid ∘ this)
+    == UNet.apply bit-for-bit."""
+    feats = unet_features(variables)
+    f0, n = feats[0], len(feats)
+    x = nn.ConvTranspose(
+        f0, (2, 2), strides=(2, 2), dtype=dtype, param_dtype=jnp.float32,
+    ).apply(_subvars(variables, f"ConvTranspose_{n - 1}"), y_mid)
+    x = jnp.concatenate([skip1, x.astype(skip1.dtype)], axis=-1)
+    x = DoubleConv(f0, dtype, fuse_bn).apply(
+        _subvars(variables, f"DoubleConv_{2 * n}"), x, False)
+    return nn.Conv(1, (1, 1), dtype=dtype, param_dtype=jnp.float32).apply(
+        _subvars(variables, "Conv_0"), x).astype(jnp.float32)
+
+
+def window_origins(boxes, valid, h: int, w: int, win: int):
+    """Even-aligned per-frame (win, win) window origins covering each valid
+    frame's box.  Returns (fits, oy, ox).
+
+    Same containment scheme as ops/blobs.roi_window_origin (origin clamps
+    [x1+1-win, x1+1) in-frame) with two differences: origins round DOWN to
+    even so the window is exactly representable at the half-resolution
+    feature grid (ConvTranspose stride 2), and invalid frames are excluded
+    from the ``fits`` test (their area is 0 whatever the window sees).
+    Rounding down keeps covering the box: x1 <= ox+win-1 still holds after
+    ox drops by 1, and clamps stay in-frame because w-win is even."""
+    boxes = boxes.astype(jnp.int32)
+    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    ok = ((x1 - x0) <= win - 2) & ((y1 - y0) <= win - 2)
+    fits = jnp.all(ok | ~valid)
+    ox = jnp.clip(x1 + 1 - win, 0, w - win) & ~1
+    oy = jnp.clip(y1 + 1 - win, 0, h - win) & ~1
+    return fits, oy, ox
+
+
+def _conv_valid(x, kernel, bias, dtype):
+    """Conv with VALID padding, same dtype flow as ``nn.Conv`` (inputs and
+    kernel cast to ``dtype``, f32 params)."""
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=dn)
+    return y + bias.astype(dtype)
+
+
+def unet_tail_window(variables, y_mid, skip1, oy, ox, dtype=jnp.float32,
+                     win: int = 128):
+    """The 256²-level tail evaluated ONLY on per-frame (win, win) windows at
+    even origins (oy, ox) — logits bit-equal to the full-frame tail's values
+    at those pixels (folded-BN variables required: the windowed convs run
+    as conv+bias+ReLU).
+
+    Exactness: DoubleConv_8's two 'same' 3x3 convs need a 2-px halo, so the
+    window computes on (win+4)² inputs sliced from zero-padded full-frame
+    tensors — out-of-frame positions read 0, which is precisely the zero
+    padding the full-frame conv applies at frame borders (interior windows
+    have real values in the halo).  The upsample contributes (win+4)² from
+    (win/2+2)² of ``y_mid`` (a stride-2 k=2 transposed conv maps input i to
+    outputs 2i/2i+1 only — no halo of its own), with positions outside the
+    frame zeroed explicitly (the full-frame up tensor does not exist there;
+    the 'same' conv would read 0).
+
+    Returns (N, win, win, 1) f32 logits for windows at (oy, ox).
+    """
+    p = variables["params"]
+    feats = unet_features(variables)
+    f0, n = feats[0], len(feats)
+    halo = 2
+    wh = win + 2 * halo
+
+    # upsample each frame's (win/2 + halo)² y_mid window -> (wh)²
+    kt = p[f"ConvTranspose_{n - 1}"]["kernel"]
+    bt = p[f"ConvTranspose_{n - 1}"]["bias"]
+    mh = win // 2 + halo
+    y_pad = jnp.pad(y_mid, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def one_mid(ym, y, x):
+        return jax.lax.dynamic_slice(
+            ym, (y // 2, x // 2, 0), (mh, mh, ym.shape[-1]))
+
+    ymw = jax.vmap(one_mid)(y_pad, oy, ox)  # (N, mh, mh, 2f0)
+    up = nn.ConvTranspose(
+        f0, (2, 2), strides=(2, 2), dtype=dtype, param_dtype=jnp.float32,
+    ).apply({"params": {"kernel": kt, "bias": bt}}, ymw)  # (N, wh, wh, f0)
+
+    # zero positions outside the frame (the full-frame up tensor ends at the
+    # frame border; 'same' convs read 0 beyond it)
+    hh, ww = skip1.shape[1:3]
+    rows = oy[:, None] - halo + jnp.arange(wh)[None]      # (N, wh)
+    cols = ox[:, None] - halo + jnp.arange(wh)[None]
+    rin = (rows >= 0) & (rows < hh)
+    cin_ = (cols >= 0) & (cols < ww)
+    up = up * (rin[:, :, None] & cin_[:, None, :])[..., None].astype(up.dtype)
+
+    # skip window from the zero-padded full-frame tensor
+    s_pad = jnp.pad(skip1, ((0, 0), (halo, halo), (halo, halo), (0, 0)))
+
+    def one_skip(sp, y, x):
+        return jax.lax.dynamic_slice(sp, (y, x, 0), (wh, wh, sp.shape[-1]))
+
+    sw = jax.vmap(one_skip)(s_pad, oy, ox)                # (N, wh, wh, f0)
+
+    x = jnp.concatenate([sw, up.astype(sw.dtype)], axis=-1)
+    d8 = p[f"DoubleConv_{2 * n}"]
+    x = nn.relu(_conv_valid(x, d8["Conv_0"]["kernel"], d8["Conv_0"]["bias"],
+                            dtype))                       # (N, win+2, win+2)
+    # the full-frame second conv reads the FIRST conv's output through its
+    # own 1-px zero padding at frame borders — emulate it by zeroing the
+    # intermediate at out-of-frame positions (bias+ReLU make them nonzero in
+    # the valid-conv chain; interior windows are unaffected)
+    x = x * (rin[:, 1:-1, None] & cin_[:, None, 1:-1])[..., None].astype(
+        x.dtype)
+    x = nn.relu(_conv_valid(x, d8["Conv_1"]["kernel"], d8["Conv_1"]["bias"],
+                            dtype))                       # (N, win, win)
+    head = p["Conv_0"]
+    y = _conv_valid(x, head["kernel"], head["bias"], dtype)
+    return y.astype(jnp.float32)
+
+
 def segment_frames(variables, frames_gray_u8, model: UNet | None = None,
                    threshold: float = 0.5, chunk_dtype=jnp.float32):
     """Batched equivalent of the reference's per-frame ``unet_segment_frame``
