@@ -97,11 +97,23 @@ class Collector:
             return default
 
 
-def _perturb(video: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+def _perturb(video: np.ndarray, rng: np.random.Generator,
+             keep_head: int = 0) -> np.ndarray:
     """Distinct content at memcpy speed: fresh low-amplitude uint8 XOR noise.
     Conv/scan work is content-independent, but distinct bytes per rep deny
-    the runtime any chance to alias reps to earlier results."""
+    the runtime any chance to alias reps to earlier results.
+
+    ``keep_head``: leave the first N frames unperturbed.  The VFT pipeline
+    locks its crop size at the first valid detection (reference
+    features.py:124-127) and that size is a STATIC shape of the tracker
+    graph — ±1 px box jitter on frame 0 forces a fresh ~12-38 s relay
+    compile per video (the BENCH_r05 47-fps vft artifact), which is a
+    cold-cache cost, not steady-state throughput (production cameras have a
+    fixed setup, so crop shapes repeat).  Keeping the head frames stable
+    pins the compiled shape while the other ~99% of frames stay distinct."""
     noise = rng.integers(0, 8, size=video.shape, dtype=np.uint8)
+    if keep_head:
+        noise[:keep_head] = 0
     return video ^ noise
 
 
@@ -162,6 +174,11 @@ def main() -> None:
         out["weights"] = "random-init"
     pipe = GlottalPipelines(unet_variables=uvars, yolo_variables=yvars,
                             dtype=jnp.bfloat16)
+    # auto-on for the folded bf16 path: 256²-level U-Net tail windowed to
+    # the gate boxes (pipelines._fused_yolo_unet_video_w).  flops_per_frame
+    # stays the full-frame ALGORITHMIC count (the windowed graph does less
+    # work when boxes fit — mfu keys are algorithmic, never >hardware)
+    out["window_decoder"] = bool(pipe._window)
 
     rng = np.random.default_rng(1234)
 
@@ -208,12 +225,13 @@ def main() -> None:
 
     def run_e2e(videos_host, depth: int) -> float:
         """Host input, prefetch-to-device at the given depth, outputs fetched
-        inside the timed region (dispatch all, then fetch all)."""
+        inside the timed region (dispatch all deferred, then resolve+fetch
+        all — no per-video host sync on the speculative windowed path)."""
         t0 = time.perf_counter()
-        outs = [pipe.yolo_unet_areas_gray(g)
+        outs = [pipe.yolo_unet_areas_gray_deferred(g)
                 for g in prefetch_to_device(videos_host, size=depth)]
         for o in outs:
-            np.asarray(o)
+            np.asarray(pipe.yolo_unet_areas_resolve(o))
         return time.perf_counter() - t0
 
     warm = [_perturb(base[i % N_BASE], rng) for i in range(2)]
@@ -252,9 +270,9 @@ def main() -> None:
         def once():
             vs = vids_dev(N_VIDEOS)
             t0 = time.perf_counter()
-            outs = [pipe.yolo_unet_areas_gray(g) for g in vs]
+            outs = [pipe.yolo_unet_areas_gray_deferred(g) for g in vs]
             for o in outs:
-                np.asarray(o)
+                np.asarray(pipe.yolo_unet_areas_resolve(o))
             return (time.perf_counter() - t0) / len(vs)
         return sorted(once() for _ in range(3))[1]
 
@@ -271,16 +289,16 @@ def main() -> None:
         def stage():
             pp.yolo_unet_areas_gray_multi(
                 [jax.device_put(w) for w in warm] * (k // 2),
-                fetch=False)  # compile
+                max_k=k)  # compile
             def once():
                 vs = vids_dev(N_COHORT)
                 t0 = time.perf_counter()
-                outs = []
-                for j in range(0, N_COHORT, k):
-                    outs.extend(pp.yolo_unet_areas_gray_multi(
-                        vs[j:j + k], fetch=False))
-                for o in outs:
-                    np.asarray(o)
+                # ONE call: all sub-batches dispatch before the first fetch
+                # (dispatch-ahead), each sub-batch then fetches as one
+                # (K, T_pad) block + its speculation flags — 2 round trips
+                # per sub-batch instead of K per-video fetches
+                outs = pp.yolo_unet_areas_gray_multi(vs, max_k=k)
+                assert len(outs) == N_COHORT
                 return (time.perf_counter() - t0) / N_COHORT
             return sorted(once() for _ in range(3))[1]
         return stage
@@ -397,10 +415,15 @@ def main() -> None:
     # crop-size lock requires ─────────────────────────────────────────────
     def make_stage_tracker(fn):
         def stage():
-            fn(jax.device_put(base[0]))  # warm/compile inside the retry
+            # warm/compile inside the retry on BOTH base videos (their
+            # locked crop shapes differ; timed reps keep the head frames
+            # stable so the shapes — static in the tracker graph — repeat)
+            for b in base[:2]:
+                fn(jax.device_put(b))
             times = []
             for _ in range(2):
-                vs = [jax.device_put(_perturb(b, rng)) for b in base[:2]]
+                vs = [jax.device_put(_perturb(b, rng, keep_head=3))
+                      for b in base[:2]]
                 jax.block_until_ready(vs)
                 t0 = time.perf_counter()
                 for gd in vs:

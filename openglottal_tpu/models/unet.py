@@ -399,6 +399,171 @@ def unet_tail_window(variables, y_mid, skip1, oy, ox, dtype=jnp.float32,
     return y.astype(jnp.float32)
 
 
+def unet_apply_to_d3(variables, x, dtype=jnp.float32, fuse_bn: bool = False):
+    """UNet.__call__ up to (and including) the 64²-level decoder block
+    (DoubleConv_6).  Returns (d3out, skip2, skip1): the 64²-level decoder
+    output (N, H/4, W/4, 4f0) plus the two shallow encoder skips.
+    unet_mid_full ∘ unet_tail_full composes back to UNet.apply bit-for-bit
+    (pinned by tests/test_unet_window.py)."""
+    feats = unet_features(variables)
+    x = x.astype(dtype)
+    skips = []
+    for i, f in enumerate(feats):
+        x = DoubleConv(f, dtype, fuse_bn).apply(
+            _subvars(variables, f"DoubleConv_{i}"), x, False)
+        skips.append(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+    n = len(feats)
+    x = DoubleConv(feats[-1] * 2, dtype, fuse_bn).apply(
+        _subvars(variables, f"DoubleConv_{n}"), x, False)
+    for i, f in enumerate(reversed(feats[2:])):  # stop before the 128² level
+        x = nn.ConvTranspose(
+            f, (2, 2), strides=(2, 2), dtype=dtype, param_dtype=jnp.float32,
+        ).apply(_subvars(variables, f"ConvTranspose_{i}"), x)
+        s = skips.pop()
+        x = jnp.concatenate([s, x.astype(s.dtype)], axis=-1)
+        x = DoubleConv(f, dtype, fuse_bn).apply(
+            _subvars(variables, f"DoubleConv_{n + 1 + i}"), x, False)
+    return x, skips[1], skips[0]
+
+
+def unet_mid_full(variables, d3out, skip2, dtype=jnp.float32,
+                  fuse_bn: bool = False):
+    """The full-frame 128²-level decoder block: ConvTranspose_2 upsample,
+    skip-first concat, DoubleConv_7.  (unet_apply_to_d3 ∘ this) ==
+    unet_apply_to_mid bit-for-bit."""
+    feats = unet_features(variables)
+    f1, n = feats[1], len(feats)
+    x = nn.ConvTranspose(
+        f1, (2, 2), strides=(2, 2), dtype=dtype, param_dtype=jnp.float32,
+    ).apply(_subvars(variables, f"ConvTranspose_{n - 2}"), d3out)
+    x = jnp.concatenate([skip2, x.astype(skip2.dtype)], axis=-1)
+    return DoubleConv(f1, dtype, fuse_bn).apply(
+        _subvars(variables, f"DoubleConv_{2 * n - 1}"), x, False)
+
+
+def unet_mid_window(variables, d3out, skip2, oy, ox, dtype=jnp.float32,
+                    win: int = 160):
+    """The 128²-level decoder block evaluated only on the window the
+    256²-level tail needs: given a frame-level origin (oy, ox) with
+    oy ≡ 2 (mod 4) and 6 <= o, o + win <= H - 6, returns DoubleConv_7's
+    output on rows [oy/2 - 1, oy/2 - 1 + win/2 + 2) — exactly the
+    (win/2+2)² block :func:`unet_tail_window_chunk` would slice from the
+    full y_mid.  Halos are real in-frame data (interior margins), so the
+    valid convs reproduce the full-frame values exactly (f32-pinned)."""
+    p = variables["params"]
+    feats = unet_features(variables)
+    f1, n = feats[1], len(feats)
+    mw = win // 2 + 6          # concat-level window (halo 3 per side at 128²)
+    m0y, m0x = oy // 2 - 3, ox // 2 - 3   # even by the origin lattice
+
+    d3w = jax.lax.dynamic_slice(
+        d3out, (0, m0y // 2, m0x // 2, 0),
+        (d3out.shape[0], mw // 2, mw // 2, d3out.shape[-1]))
+    up = nn.ConvTranspose(
+        f1, (2, 2), strides=(2, 2), dtype=dtype, param_dtype=jnp.float32,
+    ).apply({"params": p[f"ConvTranspose_{n - 2}"]}, d3w)   # (N, mw, mw, f1)
+    s2 = jax.lax.dynamic_slice(
+        skip2, (0, m0y, m0x, 0), (skip2.shape[0], mw, mw, skip2.shape[-1]))
+
+    x = jnp.concatenate([s2, up.astype(s2.dtype)], axis=-1)
+    d7 = p[f"DoubleConv_{2 * n - 1}"]
+    x = nn.relu(_conv_valid(x, d7["Conv_0"]["kernel"], d7["Conv_0"]["bias"],
+                            dtype))                         # mw-2
+    x = nn.relu(_conv_valid(x, d7["Conv_1"]["kernel"], d7["Conv_1"]["bias"],
+                            dtype))                         # mw-4 = win/2+2
+    return x
+
+
+def _tail_from_ymw(variables, ymw, skip1, oy, ox, dtype, win):
+    """256²-level tail given the (win/2+2)² y_mid window at
+    [oy/2-1, ox/2-1] (see unet_tail_window_chunk for the derivation)."""
+    p = variables["params"]
+    feats = unet_features(variables)
+    f0, n = feats[0], len(feats)
+    halo = 2
+    wh = win + 2 * halo
+
+    up = nn.ConvTranspose(
+        f0, (2, 2), strides=(2, 2), dtype=dtype, param_dtype=jnp.float32,
+    ).apply({"params": p[f"ConvTranspose_{n - 1}"]}, ymw)   # (N, wh, wh, f0)
+    sw = jax.lax.dynamic_slice(
+        skip1, (0, oy - halo, ox - halo, 0),
+        (skip1.shape[0], wh, wh, skip1.shape[-1]))
+
+    x = jnp.concatenate([sw, up.astype(sw.dtype)], axis=-1)
+    d8 = p[f"DoubleConv_{2 * n}"]
+    x = nn.relu(_conv_valid(x, d8["Conv_0"]["kernel"], d8["Conv_0"]["bias"],
+                            dtype))
+    x = nn.relu(_conv_valid(x, d8["Conv_1"]["kernel"], d8["Conv_1"]["bias"],
+                            dtype))
+    head = p["Conv_0"]
+    y = _conv_valid(x, head["kernel"], head["bias"], dtype)
+    return y.astype(jnp.float32)
+
+
+def unet_tail_window_chunk(variables, y_mid, skip1, oy, ox,
+                           dtype=jnp.float32, win: int = 160):
+    """The 256²-level tail on ONE (win, win) window shared by every frame of
+    a chunk, at scalar even origin (oy, ox) with 2 <= o and o + win <= H-2.
+
+    The per-frame form (:func:`unet_tail_window`) is exact everywhere but
+    its halo pads + per-frame dynamic slices lowered to ~70 ms/video of pad
+    and gather copies on TPU v5e (profiled — the round-2 "big gather" cliff
+    class).  The gate box is quasi-static across one chunk's 128 consecutive
+    frames (the folds vibrate in place), so the production graph uses one
+    UNION window per chunk: the slices become two contiguous
+    ``dynamic_slice`` ops XLA fuses into the consuming convs, and because
+    the origin is interior (2-px margin in-frame), the halo reads REAL
+    neighbours — no zero-pad emulation, no masking; the halo'd valid convs
+    reproduce the full-frame 'same'-conv values exactly (pinned in f32 by
+    tests/test_unet_window.py).
+
+    Returns (N, win, win, 1) f32 logits for the window [oy, oy+win) x
+    [ox, ox+win).
+    """
+    halo = 2
+    mh = (win + 2 * halo) // 2
+    ymw = jax.lax.dynamic_slice(
+        y_mid, (0, (oy - halo) // 2, (ox - halo) // 2, 0),
+        (y_mid.shape[0], mh, mh, y_mid.shape[-1]))
+    return _tail_from_ymw(variables, ymw, skip1, oy, ox, dtype, win)
+
+
+def chunk_window_origin(boxes, valid, h: int, w: int, win: int,
+                        lattice: int = 2, margin: int = 2):
+    """One (win, win) window per CHUNK covering the union of its valid
+    boxes, interior by ``margin`` px (so the windowed tails need no
+    zero-halo emulation), origin on the ``lattice`` grid offset so the
+    half- and quarter-resolution feature slices stay aligned (lattice 2:
+    o even — unet_tail_window_chunk; lattice 4: o ≡ 2 mod 4 with margin 6 —
+    unet_mid_window's quarter-res slice start (o/2-3)/2 must be integral).
+    Returns (fits, oy, ox); ``fits`` is the DIRECT containment test, so
+    callers fall back full-frame for chunks whose boxes move too much,
+    touch the frame border, or exceed the window."""
+    big = jnp.iinfo(jnp.int32).max
+    b = boxes.astype(jnp.int32)
+    v = valid[:, None]
+    lo = jnp.min(jnp.where(v, b[:, :2], big), axis=0)     # (ux0, uy0)
+    hi = jnp.max(jnp.where(v, b[:, 2:], -big), axis=0)    # (ux1, uy1)
+    any_valid = jnp.any(valid)
+    lo = jnp.where(any_valid, lo, margin)
+    hi = jnp.where(any_valid, hi, margin + 2)
+    off = 2 if lattice == 4 else 0   # lattice points: off, off+lattice, ...
+
+    def snap(o, dim):
+        o = jnp.clip(o, margin, dim - win - margin)
+        o = ((o - off) // lattice) * lattice + off
+        return jnp.maximum(o, margin)  # snap-down may undershoot the margin
+
+    ox = snap((lo[0] + hi[0]) // 2 - win // 2, w)
+    oy = snap((lo[1] + hi[1]) // 2 - win // 2, h)
+    fits = ((ox <= lo[0]) & (hi[0] <= ox + win)
+            & (oy <= lo[1]) & (hi[1] <= oy + win)
+            & (ox + win + margin <= w) & (oy + win + margin <= h))
+    return fits, oy, ox
+
+
 def segment_frames(variables, frames_gray_u8, model: UNet | None = None,
                    threshold: float = 0.5, chunk_dtype=jnp.float32):
     """Batched equivalent of the reference's per-frame ``unet_segment_frame``

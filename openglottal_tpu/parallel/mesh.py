@@ -52,6 +52,33 @@ def batch_spec(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
+def shard_model_params(mesh: Mesh, variables):
+    """Tensor-parallel parameter placement: every array whose trailing
+    (out-channel) dim divides the ``model`` axis shards that dim over it
+    (Megatron-style column split — conv kernels (H, W, I, O), biases and
+    folded-BN scale/shift all carry channels last); everything else
+    replicates.  XLA GSPMD propagates the placement through the network and
+    inserts the collectives (all-gathers at channel-joining ops like the
+    U-Net skip concats, psums where a contraction crosses the split) — no
+    hand-written communication, riding ICI by construction.
+
+    The 7.76M-param U-Net does not NEED tensor parallelism (SURVEY §2.4);
+    this makes the ``model`` axis a real, exercised path (1-vs-sharded
+    equality pinned in tests/test_mesh.py) so larger models can request it
+    via config (config.mesh.n_model) without code changes."""
+    n = mesh.shape["model"]
+
+    def put(a):
+        if n > 1 and a.ndim >= 1 and a.shape[-1] % n == 0 \
+                and a.shape[-1] >= 2 * n:
+            spec = P(*([None] * (a.ndim - 1)), "model")
+        else:
+            spec = P()
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, variables)
+
+
 def pad_to_multiple(x, m: int, axis: int = 0):
     """Pad an axis to a multiple of ``m`` (sharding needs divisibility)."""
     n = x.shape[axis]

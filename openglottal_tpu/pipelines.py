@@ -224,6 +224,87 @@ def _yolo_unet_chunk_fn(unet_variables, yolo_variables, h, w, conf: float,
     return per_chunk
 
 
+def _yolo_summary_chunk_fn(yolo_variables, h, w, conf: float, dtype,
+                           fuse: bool):
+    """Detection summaries only — (CHUNK, h, w) uint8 -> (has, raw box) —
+    the first pass of the windowed two-pass yolo+unet graph (the gate scan
+    needs every frame's detection before the U-Net tail can be windowed to
+    the gate boxes)."""
+    yolo = YOLOv8(nc=1, dtype=dtype, fuse_bn=fuse)
+    yv = _u8_yolo(yolo_variables)
+
+    def per_chunk(g):
+        outs = yolo.apply(yv, _gray_stem_input(yolo_variables, g),
+                          train=False)
+        has, box, _ = max_conf_detect(outs, h, w, conf)
+        return has, box
+
+    return per_chunk
+
+
+def _unet_windowed_areas_chunk_fn(unet_variables, h, w, dtype, fuse: bool,
+                                  win: int, tail: str = "window"):
+    """Second pass of the windowed yolo+unet graph: (chunk gray, valid,
+    boxes) -> per-frame in-box areas.
+
+    The encoder + mid decoder always run full-frame (deeper levels need the
+    whole field of view); the 256²-level tail — ~24 ms of the 107.75
+    ms/video device time, HBM-bandwidth-floor-bound
+    (results/PROFILE_r03.md) — runs on ONE interior (win, win) window per
+    chunk covering the union of the chunk's valid gate boxes
+    (models/unet.chunk_window_origin; the box is quasi-static across 128
+    consecutive frames), with an in-graph ``lax.cond`` full-frame fallback
+    per chunk when the union outgrows the window or touches the frame
+    border.  Output parity: the area only counts mask pixels inside the
+    box ⊆ window (_box_area_sums semantics, reference features.py:237-245);
+    windowed logits equal the full-frame tail's values at every window
+    pixel — exactly in f32, and in bf16 up to conv-tiling reassociation
+    flips of near-zero logits whose waveform effect is the same distance
+    from the f32 ground truth as the full-frame bf16 path's (measured
+    rel-L1 ~0.4-1% for both, equidistant; the int8 divergence class —
+    pinned by tests/test_unet_window.py + the selftest drift gate)."""
+    from openglottal_tpu.models.unet import (_tail_from_ymw,
+                                             chunk_window_origin,
+                                             unet_apply_to_d3,
+                                             unet_mid_full,
+                                             unet_mid_window,
+                                             unet_tail_full)
+
+    uv = _u8_unet(unet_variables)
+
+    def per_chunk(g, valid, boxes):
+        x = g.astype(jnp.float32)[..., None]
+        d3out, skip2, skip1 = unet_apply_to_d3(uv, x, dtype, fuse)
+
+        if tail == "full":
+            y_mid = unet_mid_full(uv, d3out, skip2, dtype, fuse)
+            logits = unet_tail_full(uv, y_mid, skip1, dtype, fuse)[..., 0]
+            return _box_area_sums(logits > 0, valid, boxes), jnp.asarray(True)
+
+        # lattice 4 / margin 6: unet_mid_window's quarter-res slice
+        # alignment (both decoder levels window together).  NO in-graph
+        # fallback branch: a per-chunk lax.cond measured ~7.5 ms of
+        # schedule-stall dead time per chunk on TPU v5e (identical per-op
+        # totals, +30 ms module wall) — instead the graph SPECULATES
+        # windowed and returns ``fits`` so the caller can redo the rare
+        # non-fitting video through the full graph (origins are clipped
+        # in-bounds, so a non-fitting chunk computes safely — just not
+        # over the whole box).
+        fits, oy, ox = chunk_window_origin(boxes, valid, h, w, win,
+                                           lattice=4, margin=6)
+        ymw = unet_mid_window(uv, d3out, skip2, oy, ox, dtype, win)
+        logits = _tail_from_ymw(uv, ymw, skip1, oy, ox, dtype, win)[..., 0]
+        m = logits > 0  # sigmoid>0.5
+        rows = oy + jnp.arange(win)
+        cols = ox + jnp.arange(win)
+        rm = (rows[None] >= boxes[:, 1:2]) & (rows[None] < boxes[:, 3:4])
+        cm = (cols[None] >= boxes[:, 0:1]) & (cols[None] < boxes[:, 2:3])
+        area = (m & rm[:, :, None] & cm[:, None, :]).sum((1, 2))
+        return jnp.where(valid, area.astype(jnp.float32), 0.0), fits
+
+    return per_chunk
+
+
 def _yolo_unet_chunk_fn_q(qparams, yolo_variables, h, w, conf: float, dtype,
                           fuse: bool):
     """int8 counterpart of :func:`_yolo_unet_chunk_fn` (U-Net always
@@ -277,6 +358,84 @@ def _fused_yolo_unet_video(unet_variables, yolo_variables, gray_u8, t_real,
     raw = raw.reshape(t_pad, 4)
     valid, boxes = gate_scan(has, raw, h, w, params=gate_params)
     return _box_area_sums(masks, valid, boxes)
+
+
+@_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse", "win",
+                           "tail"))
+def _fused_yolo_unet_video_w(unet_variables, yolo_variables, gray_u8, t_real,
+                             conf: float, dtype, gate_params: GateParams,
+                             fuse: bool = True, win: int = 160,
+                             tail: str = "window"):
+    """Windowed-tail form of :func:`_fused_yolo_unet_video` — still ONE
+    dispatch, restructured as two chunk loops so the U-Net's 256²-level
+    decoder can window to the gate boxes: (1) YOLO summaries for every
+    frame, (2) gate scan, (3) U-Net with the windowed tail
+    (:func:`_unet_windowed_areas_chunk_fn`) reading the scanned boxes.
+    Same total model math as the one-loop form (the encoder reads the video
+    twice — ~66 MB/video, noise next to the ~20 GB of activation traffic);
+    output parity documented at the chunk fn.
+
+    Returns (areas (T_pad,), ok scalar).  ``tail`` "window" (default)
+    SPECULATES: the decoder always runs windowed and ``ok`` reports whether
+    every chunk's boxes fit — False means the caller must redo through the
+    full graph (tail="full").  There is deliberately NO in-graph fallback:
+    a ``lax.cond`` around the decoder measured 87.3 ms/video vs 57.75
+    speculative on TPU v5e with IDENTICAL per-op totals — a TPU conditional
+    suppresses the scheduler's cross-op overlap across its whole body
+    (both per-chunk and whole-video cond forms; results/PROFILE_r05.md)."""
+    t_pad = gray_u8.shape[0]
+    h, w = gray_u8.shape[1:]
+    nc = t_pad // CHUNK
+    chunks = gray_u8.reshape(nc, CHUNK, h, w)
+
+    has, raw = jax.lax.map(
+        _yolo_summary_chunk_fn(yolo_variables, h, w, conf, dtype, fuse),
+        chunks)
+    has = has.reshape(t_pad) & (jnp.arange(t_pad) < t_real)
+    raw = raw.reshape(t_pad, 4)
+    valid, boxes = gate_scan(has, raw, h, w, params=gate_params)
+
+    vc = valid.reshape(nc, CHUNK)
+    bc = boxes.reshape(nc, CHUNK, 4)
+    per_chunk = _unet_windowed_areas_chunk_fn(unet_variables, h, w,
+                                              dtype, fuse, win, tail)
+    areas, fits = jax.lax.map(lambda a: per_chunk(*a), (chunks, vc, bc))
+    return areas.reshape(t_pad), fits.all()
+
+
+@_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse", "win",
+                           "tail"))
+def _fused_yolo_unet_multi_w(unet_variables, yolo_variables, gray_u8, t_real,
+                             conf: float, dtype, gate_params: GateParams,
+                             fuse: bool = True, win: int = 160,
+                             tail: str = "window"):
+    """Windowed-tail cohort form (see :func:`_fused_yolo_unet_multi` for
+    the cohort-serving shape and :func:`_fused_yolo_unet_video_w` for the
+    two-pass windowing and the speculation contract): K videos' chunks
+    share both loops; the per-video gate scans run under ``vmap`` between
+    them.  Uses the same chunk closures as the per-video windowed graph, so
+    cohort == per-video by construction.  Returns (areas (K, T_pad), ok
+    (K,)) — per-VIDEO speculation flags (chunks never span videos); the
+    caller redoes ok=False videos through the full graph at fetch time."""
+    k, t_pad, h, w = gray_u8.shape
+    nc = k * t_pad // CHUNK
+    chunks = gray_u8.reshape(nc, CHUNK, h, w)
+
+    has, raw = jax.lax.map(
+        _yolo_summary_chunk_fn(yolo_variables, h, w, conf, dtype, fuse),
+        chunks)
+    has = has.reshape(k, t_pad) & (jnp.arange(t_pad)[None] < t_real[:, None])
+    raw = raw.reshape(k, t_pad, 4)
+    valid, boxes = jax.vmap(
+        lambda hh, rr: gate_scan(hh, rr, h, w, params=gate_params))(has, raw)
+
+    per_chunk = _unet_windowed_areas_chunk_fn(unet_variables, h, w, dtype,
+                                              fuse, win, tail)
+    areas, fits = jax.lax.map(
+        lambda a: per_chunk(*a),
+        (chunks, valid.reshape(nc, CHUNK), boxes.reshape(nc, CHUNK, 4)))
+    # per-VIDEO ok: chunks never span videos (t_pad is a CHUNK multiple)
+    return areas.reshape(k, t_pad), fits.reshape(k, t_pad // CHUNK).all(1)
 
 
 @_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse"))
@@ -808,7 +967,8 @@ class GlottalPipelines:
                  ygvft_params: YGVFTParams = YGVFTParams(),
                  dtype=jnp.bfloat16, mesh=None,
                  parallel_trackers: bool = True, fold_bn: bool = True,
-                 quant: str | None = None):
+                 quant: str | None = None,
+                 window_decoder: bool | None = None):
         # inference BatchNorm folding (models/fold.py): scale/shift
         # pre-multiplied into conv weights — one fewer HBM round-trip per
         # conv on TPU, numerics equal up to float reassociation.  Applied
@@ -865,20 +1025,37 @@ class GlottalPipelines:
                              "(provide batch_stats or pre-folded weights)")
         self._quant = quant
         self._qparams = None
+        # box-windowed 256²-level U-Net decoder tail in the fused yolo+unet
+        # graphs (_fused_yolo_unet_video_w/_multi_w): ~17 ms/video off the
+        # bandwidth-floor 256² stage when gate boxes fit 126 px (trained
+        # detectors; in-graph per-chunk full-frame fallback otherwise —
+        # exact fallback parity since unet_tail_full composes to UNet.apply
+        # bit-for-bit).  Auto: on for the folded bf16 single-chip path (the
+        # windowed tail runs conv+bias, so it needs folded variables; the
+        # mesh path has its own frame-sharded form, int8 its own graphs).
+        if window_decoder is None:
+            window_decoder = (self._fuse and quant is None and mesh is None
+                              and unet_variables is not None
+                              and yolo_variables is not None)
+        self._window = bool(window_decoder)
         if mesh is not None:
             # frame-axis ("sequence") sharding: each CHUNK splits over the
-            # mesh's data axis; gate/feature scans consume gathered summaries
+            # mesh's data axis; gate/feature scans consume gathered summaries.
+            # With a model axis >1 the conv out-channels additionally shard
+            # over it (parallel/mesh.shard_model_params — tensor parallelism;
+            # GSPMD inserts the collectives); model=1 degenerates to full
+            # replication.
             from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from openglottal_tpu.parallel.mesh import shard_model_params
 
             self._chunk_spec = NamedSharding(mesh, P("data"))
             self._repl_spec = NamedSharding(mesh, P())
-            self.unet_variables = (jax.device_put(unet_variables, self._repl_spec)
-                                   if unet_variables is not None else None)
-            self.crop_unet_variables = (
-                jax.device_put(crop_unet_variables, self._repl_spec)
-                if crop_unet_variables is not None else None)
-            self.yolo_variables = (jax.device_put(yolo_variables, self._repl_spec)
-                                   if yolo_variables is not None else None)
+            put_p = lambda v: (shard_model_params(mesh, v)
+                               if v is not None else None)
+            self.unet_variables = put_p(unet_variables)
+            self.crop_unet_variables = put_p(crop_unet_variables)
+            self.yolo_variables = put_p(yolo_variables)
             self.yolo_gray_variables = self.yolo_variables
         else:
             self._chunk_spec = None
@@ -1130,6 +1307,39 @@ class GlottalPipelines:
         valid, boxes = self._gated(frames_dev, gray)
         return _box_area_sums(masks, valid, boxes)
 
+    def yolo_unet_areas_gray_deferred(self, gray_u8):
+        """Dispatch :meth:`yolo_unet_areas_gray` WITHOUT any host sync.
+
+        Returns an opaque pending handle; pass it to
+        :meth:`yolo_unet_areas_resolve` when the waveform is needed.  On the
+        speculative windowed path this lets a serving loop dispatch video
+        j+1 while j computes (the per-video ok check moves into resolve);
+        on every other path it degenerates to the plain call."""
+        gray = to_device(gray_u8)
+        t, h, w = gray.shape
+        if ((h, w) == (256, 256) and self._chunk_spec is None
+                and not self._quant and self._window):
+            areas, ok = _fused_yolo_unet_video_w(
+                self.unet_variables, self.yolo_gray_variables,
+                _pad_to(gray, _bucket(t)), jnp.int32(t),
+                conf=self.conf, dtype=self.dtype,
+                gate_params=self.gate_params, fuse=self._fuse)
+            return (areas[:t], ok, gray, t)
+        return (self.yolo_unet_areas_gray(gray), None, gray, t)
+
+    def yolo_unet_areas_resolve(self, pending):
+        """Resolve a :meth:`yolo_unet_areas_gray_deferred` handle: checks
+        the speculation flag and redoes the rare non-fitting video through
+        the full graph."""
+        areas, ok, gray, t = pending
+        if ok is not None and not bool(ok):
+            return _fused_yolo_unet_video(
+                self.unet_variables, self.yolo_gray_variables,
+                _pad_to(gray, _bucket(t)), jnp.int32(t),
+                conf=self.conf, dtype=self.dtype,
+                gate_params=self.gate_params, fuse=self._fuse)[:t]
+        return areas
+
     def yolo_unet_areas_gray(self, gray_u8):
         """YOLO+UNet waveform for monochrome video (T, 256, 256) uint8 —
         the production HSV path: one transfer + one fused dispatch."""
@@ -1154,6 +1364,20 @@ class GlottalPipelines:
                     _pad_to(gray, _bucket(t)), jnp.int32(t),
                     conf=self.conf, dtype=self.dtype,
                     gate_params=self.gate_params, fuse=self._fuse)[:t]
+            if self._window:
+                # speculative windowed-decoder graph: the tiny ok-flag
+                # fetch synchronises this video, then the rare non-fitting
+                # video (untrained detector, border/oversized glottis box)
+                # redoes through the full graph below.  Callers that need
+                # dispatch-ahead overlap use the cohort multi API, whose
+                # ok checks fold into the fetch loop.
+                areas, ok = _fused_yolo_unet_video_w(
+                    self.unet_variables, self.yolo_gray_variables,
+                    _pad_to(gray, _bucket(t)), jnp.int32(t),
+                    conf=self.conf, dtype=self.dtype,
+                    gate_params=self.gate_params, fuse=self._fuse)
+                if bool(ok):
+                    return areas[:t]
             return _fused_yolo_unet_video(
                 self.unet_variables, self.yolo_gray_variables,
                 _pad_to(gray, _bucket(t)), jnp.int32(t),
@@ -1165,12 +1389,18 @@ class GlottalPipelines:
 
     def _yolo_unet_multi_dispatch(self, grays):
         """Dispatch ONE fused cohort graph for <= MAX_COHORT_K videos;
-        returns (areas_dev (K, T_pad) device array, ts) WITHOUT fetching —
-        the caller decides when to synchronise."""
+        returns (areas_dev (K, T_pad) device array, ok, devs, ts) WITHOUT
+        fetching — the caller decides when to synchronise.  ``ok`` is None
+        (nothing to check) or a per-video (K,) device flag vector from the
+        SPECULATIVE windowed graph: videos whose flag comes back False must
+        be redone through the per-video path (whose whole-video in-graph
+        cond takes the full branch) — that check belongs in the fetch loop
+        so the dispatch-ahead overlap is preserved."""
         ts = [int(g.shape[0]) for g in grays]
         t_pad = _bucket(max(ts))
         devs = [to_device(g) for g in grays]
         stacked = jnp.stack([_pad_to(d, t_pad) for d in devs])
+        ok = None
         if self._quant:
             # auto-calibration (if still pending) sees a real video, not the
             # zero-padded stack — same content the per-video path would use
@@ -1178,14 +1408,20 @@ class GlottalPipelines:
                 self._q(devs[0]), self.yolo_gray_variables, stacked,
                 jnp.asarray(ts, jnp.int32), conf=self.conf, dtype=self.dtype,
                 gate_params=self.gate_params, fuse=self._fuse)
+        elif self._window:
+            areas, ok = _fused_yolo_unet_multi_w(
+                self.unet_variables, self.yolo_gray_variables, stacked,
+                jnp.asarray(ts, jnp.int32), conf=self.conf, dtype=self.dtype,
+                gate_params=self.gate_params, fuse=self._fuse)
         else:
             areas = _fused_yolo_unet_multi(
                 self.unet_variables, self.yolo_gray_variables, stacked,
                 jnp.asarray(ts, jnp.int32), conf=self.conf, dtype=self.dtype,
                 gate_params=self.gate_params, fuse=self._fuse)
-        return areas, ts
+        return areas, ok, devs, ts
 
-    def yolo_unet_areas_gray_multi(self, grays, fetch: bool = True):
+    def yolo_unet_areas_gray_multi(self, grays, fetch: bool = True,
+                                   max_k: int | None = None):
         """YOLO+UNet waveforms for a BATCH of monochrome 256² videos in ONE
         fused dispatch per sub-batch (``_fused_yolo_unet_multi``) — the
         cohort-serving form: the per-dispatch relay round-trip is paid once
@@ -1214,13 +1450,28 @@ class GlottalPipelines:
                 or any(tuple(g.shape[1:3]) != (256, 256) for g in grays)):
             outs = [self.yolo_unet_areas_gray(g) for g in grays]
             return [np.asarray(o) for o in outs] if fetch else outs
-        pending = [self._yolo_unet_multi_dispatch(grays[j:j + MAX_COHORT_K])
-                   for j in range(0, len(grays), MAX_COHORT_K)]
+        k_sub = min(max_k or MAX_COHORT_K, MAX_COHORT_K)
+        pending = [self._yolo_unet_multi_dispatch(grays[j:j + k_sub])
+                   for j in range(0, len(grays), k_sub)]
         out = []
-        for areas, ts in pending:
+        for areas, ok, devs, ts in pending:
+            # speculation check: the tiny (K,) flag fetch synchronises this
+            # sub-batch only after ALL sub-batches are in flight
+            ok_np = np.asarray(ok) if ok is not None else None
             if fetch:
                 areas = np.asarray(areas)  # one d2h round-trip per sub-batch
-            out.extend(areas[i, :t] for i, t in enumerate(ts))
+            for i, t in enumerate(ts):
+                if ok_np is not None and not ok_np[i]:
+                    # redo straight through the full one-loop graph (the
+                    # speculative result for this video is unusable)
+                    a = _fused_yolo_unet_video(
+                        self.unet_variables, self.yolo_gray_variables,
+                        _pad_to(devs[i], _bucket(t)), jnp.int32(t),
+                        conf=self.conf, dtype=self.dtype,
+                        gate_params=self.gate_params, fuse=self._fuse)[:t]
+                    out.append(np.asarray(a) if fetch else a)
+                else:
+                    out.append(areas[i, :t])
         return out
 
     # ── pipeline 4: crop U-Net ────────────────────────────────────────────

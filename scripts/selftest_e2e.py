@@ -208,6 +208,18 @@ def main() -> None:
     int8full_rel_l1 = float(np.sum(np.abs(wave8 - wave16))
                             / max(np.sum(np.abs(wave16)), 1e-9))
 
+    # ── windowed-decoder drift gate: the default bf16 path runs the
+    # box-windowed U-Net decoder (pipelines._fused_yolo_unet_video_w);
+    # its waveform must stay within the same rel-L1 budget of the
+    # full-frame graph (near-zero-logit flips only — measured equidistant
+    # from the f32 ground truth, models/unet.py windowed-tail notes) ──────
+    pipe_nw = GlottalPipelines(unet_variables=uvars, yolo_variables=yvars,
+                               conf=0.25, window_decoder=False)
+    wave_full = _stage("wave_bf16_fullframe", lambda: np.asarray(
+        pipe_nw.yolo_unet_areas_gray(gray_te[:40])))
+    window_rel_l1 = float(np.sum(np.abs(wave16 - wave_full))
+                          / max(np.sum(np.abs(wave_full)), 1e-9))
+
     report = {p_: {k: v for k, v in row.items() if k not in ("dices", "ious")}
               for p_, row in agg.items()}
     report["yolo_final_recall"] = final_recall
@@ -216,6 +228,7 @@ def main() -> None:
     report["unet_only_dice_int8"] = dice_int8
     report["unet_only_dice_bf16_direct"] = dice_bf16
     report["int8full_waveform_rel_l1"] = int8full_rel_l1
+    report["windowed_waveform_rel_l1"] = window_rel_l1
     print(json.dumps(report, indent=2))
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "report.json"), "w") as fh:
@@ -231,6 +244,7 @@ def main() -> None:
         "int8_delta<0.01": abs(dice_int8 - dice_bf16) < 0.01,
         "crop_recovery": crop_trained > crop_zeroshot + 0.1,
         "int8full_rel_l1<0.05": int8full_rel_l1 < 0.05,
+        "windowed_rel_l1<0.05": window_rel_l1 < 0.05,
     }
     if args.realistic:
         # the reference's real-data ordering (Otsu 0.22 «» U-Net 0.81,

@@ -142,6 +142,36 @@ def test_all_pipelines_1_vs_8_devices(pipes_1_vs_8, mesh_video, pipeline):
     np.testing.assert_allclose(a1, a8, atol=0.5, err_msg=pipeline)
 
 
+def test_tensor_parallel_model_axis(pipes_1_vs_8, mesh_video):
+    """model axis exercised >1: conv out-channels shard over a (data=4,
+    model=2) mesh (parallel/mesh.shard_model_params, Megatron-style column
+    split; GSPMD inserts the collectives).  Results must equal the 1-device
+    mesh run."""
+    from openglottal_tpu.data.video import bgr_to_gray_u8
+    from openglottal_tpu.pipelines import GlottalPipelines
+    from openglottal_tpu.models.unet import init_unet
+    from openglottal_tpu.models.yolo import init_yolo
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    _, uv = init_unet(k1, dtype=jnp.float32)
+    _, yv = init_yolo(k2, dtype=jnp.float32)
+    tp_mesh = make_mesh(n_data=4, n_model=2)
+    assert tp_mesh.shape == {"data": 4, "model": 2}
+    p_tp = GlottalPipelines(unet_variables=uv, yolo_variables=yv, conf=0.0,
+                            dtype=jnp.float32, mesh=tp_mesh)
+    # param placement really is split over 'model'
+    k = p_tp.unet_variables["params"]["DoubleConv_1"]["Conv_0"]["kernel"]
+    assert "model" in str(k.sharding.spec)
+
+    p1, _ = pipes_1_vs_8
+    gray = np.asarray(bgr_to_gray_u8(mesh_video))
+    np.testing.assert_array_equal(
+        np.asarray(p1.segment_video(gray)), np.asarray(p_tp.segment_video(gray)))
+    np.testing.assert_allclose(
+        np.asarray(p1.yolo_unet_areas_gray(gray)),
+        np.asarray(p_tp.yolo_unet_areas_gray(gray)), atol=0.5)
+
+
 def test_stream_areas_1_vs_8_devices(pipes_1_vs_8, mesh_video):
     p1, p8 = pipes_1_vs_8
 
