@@ -348,9 +348,9 @@ def main() -> None:
             def once():
                 vs = vids_dev(N_VIDEOS)
                 t0 = time.perf_counter()
-                outs = [pipe_q.yolo_unet_areas_gray(g) for g in vs]
+                outs = [pipe_q.yolo_unet_areas_gray_deferred(g) for g in vs]
                 for o in outs:
-                    np.asarray(o)
+                    np.asarray(pipe_q.yolo_unet_areas_resolve(o))
                 return (time.perf_counter() - t0) / len(vs)
             return sorted(once() for _ in range(3))[1]
 

@@ -289,6 +289,150 @@ def qunet_chunk_masks(qparams, gray_u8):
     return qunet_masks(qparams, gray_u8)
 
 
+# ── split int8 forward + box-windowed decoder (mirrors models/unet.py's
+# unet_apply_to_d3 / unet_mid_window / unet_tail_window_chunk — see
+# results/PROFILE_r05.md).  The int8 3x3 convs accumulate in s32 (exact
+# under retiling), but the bf16 UPSAMPLE dequant→ConvTranspose is a
+# bf16 channel contraction whose accumulation order XLA retiles per shape:
+# on TPU the windowed form flips near-zero logits exactly like the bf16
+# path (on CPU the lowering happens to match bit-for-bit —
+# tests/test_quant_window.py pins that; the selftest windowed_rel_l1 gate
+# bounds the waveform effect).  Used by the quantized two-pass fused
+# graphs (pipelines._fused_yolo_unet_video_qw). ──────────────────────────
+
+
+def _qconv(x8, layer, sx, pad=1):
+    acc = _conv(x8, layer["w8"], jnp.int32, pad=pad)
+    return acc.astype(jnp.float32) * (sx * layer["sw"]) + layer["b"]
+
+
+def _qconv_relu_q(x8, layer, sx, s_next, pad=1):
+    return _q(jax.nn.relu(_qconv(x8, layer, sx, pad=pad)), s_next)
+
+
+def qunet_to_d3(qparams, gray_u8):
+    """The shared prefix of :func:`qunet_masks` through the 64²-level
+    decoder block (dec index 1): returns (x8_d3, skip1_(x8), skip2_(x8)).
+    Scales are implicit in ``qparams`` (skips are pinned to s["up{i}"] by
+    calibration)."""
+    s = qparams["act_scales"]
+    enc, bneck, dec, ups = _names()
+
+    xb = gray_u8.astype(jnp.bfloat16)[..., None]
+    stem = qparams["stem_bf16"]
+    y = jax.nn.relu(
+        _conv(xb, stem["kernel"] * jnp.bfloat16(1.0 / 255.0), jnp.bfloat16)
+        + stem["bias"])
+    x8 = _q(y.astype(jnp.float32), s["enc0_mid"])
+
+    skips = []
+    sx = s["enc0_mid"]
+    for i, name in enumerate(enc):
+        if i > 0:
+            x8 = _qconv_relu_q(x8, qparams[name]["Conv_0"], sx,
+                               s[f"enc{i}_mid"])
+            sx = s[f"enc{i}_mid"]
+        x8 = _qconv_relu_q(x8, qparams[name]["Conv_1"], sx, s[f"enc{i}_out"])
+        sx = s[f"enc{i}_out"]
+        skips.append((x8, sx))
+        x8 = jax.lax.reduce_window(x8, jnp.int8(-128), jax.lax.max,
+                                   (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+    x8 = _qconv_relu_q(x8, qparams[bneck]["Conv_0"], sx, s["bneck_mid"])
+    x8 = _qconv_relu_q(x8, qparams[bneck]["Conv_1"], s["bneck_mid"],
+                       s["bneck_out"])
+    sx = s["bneck_out"]
+
+    for i in range(2):  # decoder levels at 32² and 64²
+        name, up = dec[i], ups[i]
+        xb = x8.astype(jnp.bfloat16) * jnp.bfloat16(sx)
+        u = _convT(xb, qparams[up]["kernel"], jnp.bfloat16) \
+            + qparams[up]["bias"]
+        u8 = _q(u.astype(jnp.float32), s[f"up{i}"])
+        s8, _ = skips.pop()
+        x8 = _qconv_relu_q(jnp.concatenate([s8, u8], axis=-1),
+                           qparams[name]["Conv_0"], s[f"up{i}"],
+                           s[f"dec{i}_mid"])
+        x8 = _qconv_relu_q(x8, qparams[name]["Conv_1"], s[f"dec{i}_mid"],
+                           s[f"dec{i}_out"])
+        sx = s[f"dec{i}_out"]
+
+    (skip1, _), (skip2, _) = skips[0], skips[1]
+    return x8, skip1, skip2
+
+
+def _qup(qparams, x8, sx_in, i):
+    """bf16 dequant -> 2x2 stride-2 transposed conv -> requant (decoder
+    level i)."""
+    s = qparams["act_scales"]
+    _, _, _, ups = _names()
+    xb = x8.astype(jnp.bfloat16) * jnp.bfloat16(sx_in)
+    u = _convT(xb, qparams[ups[i]]["kernel"], jnp.bfloat16) \
+        + qparams[ups[i]]["bias"]
+    return _q(u.astype(jnp.float32), s[f"up{i}"])
+
+
+def qunet_tail_from_d3_full(qparams, x8_d3, skip1, skip2):
+    """Full-frame decoder levels 2-3 + head from the d3 split point;
+    (qunet_to_d3 ∘ this) == qunet_masks bit-for-bit."""
+    s = qparams["act_scales"]
+    _, _, dec, _ = _names()
+    x8 = x8_d3
+    sx = s["dec1_out"]
+    for i, s8 in ((2, skip2), (3, skip1)):
+        u8 = _qup(qparams, x8, sx, i)
+        x8 = _qconv_relu_q(jnp.concatenate([s8, u8], axis=-1),
+                           qparams[dec[i]]["Conv_0"], s[f"up{i}"],
+                           s[f"dec{i}_mid"])
+        x8 = _qconv_relu_q(x8, qparams[dec[i]]["Conv_1"], s[f"dec{i}_mid"],
+                           s[f"dec{i}_out"])
+        sx = s[f"dec{i}_out"]
+    head = qparams["head"]
+    xf = x8.astype(jnp.float32) * sx
+    logits = _conv(xf, head["kernel"], jnp.float32, pad=0) + head["bias"]
+    return logits[..., 0]
+
+
+def qunet_tail_from_d3_window(qparams, x8_d3, skip1, skip2, oy, ox,
+                              win: int = 160):
+    """Windowed decoder levels 2-3 + head: logits on the (win, win) window
+    at scalar even origin (oy, ox) with oy ≡ 2 (mod 4) and 6-px interior
+    margins (models/unet.chunk_window_origin lattice=4/margin=6).  The
+    int8 valid convs on real-halo slices are BIT-identical to the
+    full-frame pass's window values (s32 integer accumulation)."""
+    s = qparams["act_scales"]
+    _, _, dec, _ = _names()
+    mw = win // 2 + 6
+    m0y, m0x = oy // 2 - 3, ox // 2 - 3
+
+    d3w = jax.lax.dynamic_slice(
+        x8_d3, (0, m0y // 2, m0x // 2, 0),
+        (x8_d3.shape[0], mw // 2, mw // 2, x8_d3.shape[-1]))
+    u8 = _qup(qparams, d3w, s["dec1_out"], 2)             # (N, mw, mw)
+    s2w = jax.lax.dynamic_slice(
+        skip2, (0, m0y, m0x, 0), (skip2.shape[0], mw, mw, skip2.shape[-1]))
+    x8 = _qconv_relu_q(jnp.concatenate([s2w, u8], axis=-1),
+                       qparams[dec[2]]["Conv_0"], s["up2"], s["dec2_mid"],
+                       pad=0)                             # mw-2
+    x8 = _qconv_relu_q(x8, qparams[dec[2]]["Conv_1"], s["dec2_mid"],
+                       s["dec2_out"], pad=0)              # win/2 + 2
+
+    wh = win + 4
+    u8 = _qup(qparams, x8, s["dec2_out"], 3)              # (N, wh, wh)
+    s1w = jax.lax.dynamic_slice(
+        skip1, (0, oy - 2, ox - 2, 0),
+        (skip1.shape[0], wh, wh, skip1.shape[-1]))
+    x8 = _qconv_relu_q(jnp.concatenate([s1w, u8], axis=-1),
+                       qparams[dec[3]]["Conv_0"], s["up3"], s["dec3_mid"],
+                       pad=0)                             # win + 2
+    x8 = _qconv_relu_q(x8, qparams[dec[3]]["Conv_1"], s["dec3_mid"],
+                       s["dec3_out"], pad=0)              # win
+    head = qparams["head"]
+    xf = x8.astype(jnp.float32) * s["dec3_out"]
+    logits = _conv(xf, head["kernel"], jnp.float32, pad=0) + head["bias"]
+    return logits[..., 0]
+
+
 # ── YOLOv8n int8 ─────────────────────────────────────────────────────────
 #
 # Same PTQ scheme as the U-Net, mirroring models/yolo.YOLOv8 exactly.  One

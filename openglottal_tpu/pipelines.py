@@ -305,6 +305,67 @@ def _unet_windowed_areas_chunk_fn(unet_variables, h, w, dtype, fuse: bool,
     return per_chunk
 
 
+def _yolo_summary_chunk_fn_q(qparams, yolo_variables, h, w, conf: float,
+                             dtype, fuse: bool):
+    """Detection summaries for the quantized two-pass graph: bf16 YOLO
+    unless ``qparams`` carries a "yolo" entry (the "int8-full" mode) — the
+    same detector split as :func:`_yolo_unet_chunk_fn_q`."""
+    from openglottal_tpu.models.quant import qyolo_forward
+
+    if "yolo" not in qparams:
+        return _yolo_summary_chunk_fn(yolo_variables, h, w, conf, dtype,
+                                      fuse)
+    cin = qparams["yolo"]["stem_bf16"]["kernel"].shape[2]
+
+    def per_chunk(g):
+        x = g.astype(jnp.float32)[..., None]
+        if cin == 3:
+            x = jnp.broadcast_to(x, x.shape[:3] + (3,))
+        outs = qyolo_forward(qparams["yolo"], x)
+        has, box, _ = max_conf_detect(outs, h, w, conf)
+        return has, box
+
+    return per_chunk
+
+
+def _unet_windowed_areas_chunk_fn_q(qparams, h, w, win: int,
+                                    tail: str = "window"):
+    """int8 counterpart of :func:`_unet_windowed_areas_chunk_fn`: the
+    quantized U-Net split at the 64²-level decoder, levels 2-3 + head
+    windowed to the chunk's gate-box union (models/quant.qunet_to_d3 /
+    qunet_tail_from_d3_window).  The int8 convs accumulate in s32 (exact
+    under retiling), but the bf16 upsample epilogue retiles per shape, so
+    on TPU the windowed form has the same near-zero-logit flip class as
+    the bf16 path (measured + gated; bit-equal on the CPU lowering —
+    tests/test_quant_window.py)."""
+    from openglottal_tpu.models.quant import (qunet_tail_from_d3_full,
+                                              qunet_tail_from_d3_window,
+                                              qunet_to_d3)
+    from openglottal_tpu.models.unet import chunk_window_origin
+
+    def per_chunk(g, valid, boxes):
+        x8, skip1, skip2 = qunet_to_d3(qparams["unet"], g)
+
+        if tail == "full":
+            logits = qunet_tail_from_d3_full(qparams["unet"], x8, skip1,
+                                             skip2)
+            return _box_area_sums(logits > 0, valid, boxes), jnp.asarray(True)
+
+        fits, oy, ox = chunk_window_origin(boxes, valid, h, w, win,
+                                           lattice=4, margin=6)
+        logits = qunet_tail_from_d3_window(qparams["unet"], x8, skip1,
+                                           skip2, oy, ox, win)
+        m = logits > 0  # sigmoid>0.5
+        rows = oy + jnp.arange(win)
+        cols = ox + jnp.arange(win)
+        rm = (rows[None] >= boxes[:, 1:2]) & (rows[None] < boxes[:, 3:4])
+        cm = (cols[None] >= boxes[:, 0:1]) & (cols[None] < boxes[:, 2:3])
+        area = (m & rm[:, :, None] & cm[:, None, :]).sum((1, 2))
+        return jnp.where(valid, area.astype(jnp.float32), 0.0), fits
+
+    return per_chunk
+
+
 def _yolo_unet_chunk_fn_q(qparams, yolo_variables, h, w, conf: float, dtype,
                           fuse: bool):
     """int8 counterpart of :func:`_yolo_unet_chunk_fn` (U-Net always
@@ -435,6 +496,61 @@ def _fused_yolo_unet_multi_w(unet_variables, yolo_variables, gray_u8, t_real,
         lambda a: per_chunk(*a),
         (chunks, valid.reshape(nc, CHUNK), boxes.reshape(nc, CHUNK, 4)))
     # per-VIDEO ok: chunks never span videos (t_pad is a CHUNK multiple)
+    return areas.reshape(k, t_pad), fits.reshape(k, t_pad // CHUNK).all(1)
+
+
+@_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse", "win",
+                           "tail"))
+def _fused_yolo_unet_video_qw(qparams, yolo_variables, gray_u8, t_real,
+                              conf: float, dtype, gate_params: GateParams,
+                              fuse: bool = True, win: int = 160,
+                              tail: str = "window"):
+    """Quantized two-pass windowed graph (int8 counterpart of
+    :func:`_fused_yolo_unet_video_w`, same speculation contract; the
+    windowed int8 decoder is BIT-identical to the full int8 pass)."""
+    t_pad = gray_u8.shape[0]
+    h, w = gray_u8.shape[1:]
+    nc = t_pad // CHUNK
+    chunks = gray_u8.reshape(nc, CHUNK, h, w)
+
+    has, raw = jax.lax.map(
+        _yolo_summary_chunk_fn_q(qparams, yolo_variables, h, w, conf, dtype,
+                                 fuse), chunks)
+    has = has.reshape(t_pad) & (jnp.arange(t_pad) < t_real)
+    raw = raw.reshape(t_pad, 4)
+    valid, boxes = gate_scan(has, raw, h, w, params=gate_params)
+
+    per_chunk = _unet_windowed_areas_chunk_fn_q(qparams, h, w, win, tail)
+    areas, fits = jax.lax.map(
+        lambda a: per_chunk(*a),
+        (chunks, valid.reshape(nc, CHUNK), boxes.reshape(nc, CHUNK, 4)))
+    return areas.reshape(t_pad), fits.all()
+
+
+@_jit_hot(static_argnames=("conf", "dtype", "gate_params", "fuse", "win",
+                           "tail"))
+def _fused_yolo_unet_multi_qw(qparams, yolo_variables, gray_u8, t_real,
+                              conf: float, dtype, gate_params: GateParams,
+                              fuse: bool = True, win: int = 160,
+                              tail: str = "window"):
+    """Quantized windowed cohort graph (int8 counterpart of
+    :func:`_fused_yolo_unet_multi_w`; per-video ok flags)."""
+    k, t_pad, h, w = gray_u8.shape
+    nc = k * t_pad // CHUNK
+    chunks = gray_u8.reshape(nc, CHUNK, h, w)
+
+    has, raw = jax.lax.map(
+        _yolo_summary_chunk_fn_q(qparams, yolo_variables, h, w, conf, dtype,
+                                 fuse), chunks)
+    has = has.reshape(k, t_pad) & (jnp.arange(t_pad)[None] < t_real[:, None])
+    raw = raw.reshape(k, t_pad, 4)
+    valid, boxes = jax.vmap(
+        lambda hh, rr: gate_scan(hh, rr, h, w, params=gate_params))(has, raw)
+
+    per_chunk = _unet_windowed_areas_chunk_fn_q(qparams, h, w, win, tail)
+    areas, fits = jax.lax.map(
+        lambda a: per_chunk(*a),
+        (chunks, valid.reshape(nc, CHUNK), boxes.reshape(nc, CHUNK, 4)))
     return areas.reshape(k, t_pad), fits.reshape(k, t_pad // CHUNK).all(1)
 
 
@@ -1025,16 +1141,16 @@ class GlottalPipelines:
                              "(provide batch_stats or pre-folded weights)")
         self._quant = quant
         self._qparams = None
-        # box-windowed 256²-level U-Net decoder tail in the fused yolo+unet
-        # graphs (_fused_yolo_unet_video_w/_multi_w): ~17 ms/video off the
-        # bandwidth-floor 256² stage when gate boxes fit 126 px (trained
-        # detectors; in-graph per-chunk full-frame fallback otherwise —
-        # exact fallback parity since unet_tail_full composes to UNet.apply
-        # bit-for-bit).  Auto: on for the folded bf16 single-chip path (the
-        # windowed tail runs conv+bias, so it needs folded variables; the
-        # mesh path has its own frame-sharded form, int8 its own graphs).
+        # box-windowed U-Net decoder (both decoder levels) in the fused
+        # yolo+unet graphs (_fused_yolo_unet_video_w/_multi_w bf16,
+        # _qw int8): 107.75 -> 57.75 ms/video device time when the gate
+        # boxes fit the per-chunk union window (trained detectors), with
+        # SPECULATIVE per-video ok flags + full-graph redo for the rest
+        # (results/PROFILE_r05.md).  Auto: on for folded single-chip paths
+        # (the windowed tail runs conv+bias, so it needs folded variables;
+        # the mesh path has its own frame-sharded form).
         if window_decoder is None:
-            window_decoder = (self._fuse and quant is None and mesh is None
+            window_decoder = (self._fuse and mesh is None
                               and unet_variables is not None
                               and yolo_variables is not None)
         self._window = bool(window_decoder)
@@ -1318,12 +1434,19 @@ class GlottalPipelines:
         gray = to_device(gray_u8)
         t, h, w = gray.shape
         if ((h, w) == (256, 256) and self._chunk_spec is None
-                and not self._quant and self._window):
-            areas, ok = _fused_yolo_unet_video_w(
-                self.unet_variables, self.yolo_gray_variables,
-                _pad_to(gray, _bucket(t)), jnp.int32(t),
-                conf=self.conf, dtype=self.dtype,
-                gate_params=self.gate_params, fuse=self._fuse)
+                and self._window):
+            if self._quant:
+                areas, ok = _fused_yolo_unet_video_qw(
+                    self._q(gray), self.yolo_gray_variables,
+                    _pad_to(gray, _bucket(t)), jnp.int32(t),
+                    conf=self.conf, dtype=self.dtype,
+                    gate_params=self.gate_params, fuse=self._fuse)
+            else:
+                areas, ok = _fused_yolo_unet_video_w(
+                    self.unet_variables, self.yolo_gray_variables,
+                    _pad_to(gray, _bucket(t)), jnp.int32(t),
+                    conf=self.conf, dtype=self.dtype,
+                    gate_params=self.gate_params, fuse=self._fuse)
             return (areas[:t], ok, gray, t)
         return (self.yolo_unet_areas_gray(gray), None, gray, t)
 
@@ -1333,6 +1456,12 @@ class GlottalPipelines:
         the full graph."""
         areas, ok, gray, t = pending
         if ok is not None and not bool(ok):
+            if self._quant:
+                return _fused_yolo_unet_video_q(
+                    self._q(gray), self.yolo_gray_variables,
+                    _pad_to(gray, _bucket(t)), jnp.int32(t),
+                    conf=self.conf, dtype=self.dtype,
+                    gate_params=self.gate_params, fuse=self._fuse)[:t]
             return _fused_yolo_unet_video(
                 self.unet_variables, self.yolo_gray_variables,
                 _pad_to(gray, _bucket(t)), jnp.int32(t),
@@ -1359,6 +1488,14 @@ class GlottalPipelines:
                     conf=self.conf, dtype=self.dtype,
                     gate_params=self.gate_params, fuse=self._fuse)[:t]
             if self._quant:
+                if self._window:
+                    areas, ok = _fused_yolo_unet_video_qw(
+                        self._q(gray), self.yolo_gray_variables,
+                        _pad_to(gray, _bucket(t)), jnp.int32(t),
+                        conf=self.conf, dtype=self.dtype,
+                        gate_params=self.gate_params, fuse=self._fuse)
+                    if bool(ok):
+                        return areas[:t]
                 return _fused_yolo_unet_video_q(
                     self._q(gray), self.yolo_gray_variables,
                     _pad_to(gray, _bucket(t)), jnp.int32(t),
@@ -1404,10 +1541,19 @@ class GlottalPipelines:
         if self._quant:
             # auto-calibration (if still pending) sees a real video, not the
             # zero-padded stack — same content the per-video path would use
-            areas = _fused_yolo_unet_multi_q(
-                self._q(devs[0]), self.yolo_gray_variables, stacked,
-                jnp.asarray(ts, jnp.int32), conf=self.conf, dtype=self.dtype,
-                gate_params=self.gate_params, fuse=self._fuse)
+            qp = self._q(devs[0])
+            if self._window:
+                areas, ok = _fused_yolo_unet_multi_qw(
+                    qp, self.yolo_gray_variables, stacked,
+                    jnp.asarray(ts, jnp.int32), conf=self.conf,
+                    dtype=self.dtype, gate_params=self.gate_params,
+                    fuse=self._fuse)
+            else:
+                areas = _fused_yolo_unet_multi_q(
+                    qp, self.yolo_gray_variables, stacked,
+                    jnp.asarray(ts, jnp.int32), conf=self.conf,
+                    dtype=self.dtype, gate_params=self.gate_params,
+                    fuse=self._fuse)
         elif self._window:
             areas, ok = _fused_yolo_unet_multi_w(
                 self.unet_variables, self.yolo_gray_variables, stacked,
@@ -1464,11 +1610,18 @@ class GlottalPipelines:
                 if ok_np is not None and not ok_np[i]:
                     # redo straight through the full one-loop graph (the
                     # speculative result for this video is unusable)
-                    a = _fused_yolo_unet_video(
-                        self.unet_variables, self.yolo_gray_variables,
-                        _pad_to(devs[i], _bucket(t)), jnp.int32(t),
-                        conf=self.conf, dtype=self.dtype,
-                        gate_params=self.gate_params, fuse=self._fuse)[:t]
+                    if self._quant:
+                        a = _fused_yolo_unet_video_q(
+                            self._q(devs[i]), self.yolo_gray_variables,
+                            _pad_to(devs[i], _bucket(t)), jnp.int32(t),
+                            conf=self.conf, dtype=self.dtype,
+                            gate_params=self.gate_params, fuse=self._fuse)[:t]
+                    else:
+                        a = _fused_yolo_unet_video(
+                            self.unet_variables, self.yolo_gray_variables,
+                            _pad_to(devs[i], _bucket(t)), jnp.int32(t),
+                            conf=self.conf, dtype=self.dtype,
+                            gate_params=self.gate_params, fuse=self._fuse)[:t]
                     out.append(np.asarray(a) if fetch else a)
                 else:
                     out.append(areas[i, :t])
